@@ -1,0 +1,227 @@
+"""SRBD dynamics tests: autodiff vs closed-form Jacobians, RK4 order,
+constraint-row construction, barrier properties.
+
+The reference has NO tests for this layer (SURVEY.md §4) — these implement
+the oracle strategy the survey prescribes: finite differences + analytic
+cross-checks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srbd_nmpc_tpu.models import srbd
+from srbd_nmpc_tpu.ops import so3
+from srbd_nmpc_tpu.ops.barrier import relaxed_log_barrier
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture
+def params():
+    return srbd.SRBDParams.create(dtype=jnp.float64)
+
+
+def rand_state(scale=0.5):
+    x = RNG.normal(size=12) * scale
+    x[2] += 0.0
+    return jnp.asarray(x)
+
+
+def rand_input(scale=50.0):
+    return jnp.asarray(RNG.normal(size=12) * scale)
+
+
+class TestContinuousDynamics:
+    def test_dynamics_components(self, params):
+        """Cross-check each block against its physical definition."""
+        x, u = rand_state(), rand_input()
+        dx = srbd.continuous_dynamics(params, x, u)
+        r, l, p, v = x[0:3], x[3:6], x[6:9], x[9:12]
+        R = so3.expm(r)
+        w = R @ params.inertia_inv @ R.T @ l
+        np.testing.assert_allclose(dx[0:3], so3.jl_inv(r) @ w, atol=1e-12)
+        l_dot = (
+            u[3:6] + u[9:12]
+            + jnp.cross(params.foot_pos[0] - p, u[0:3])
+            + jnp.cross(params.foot_pos[1] - p, u[6:9])
+        )
+        np.testing.assert_allclose(dx[3:6], l_dot, atol=1e-12)
+        np.testing.assert_allclose(dx[6:9], v, atol=1e-12)
+        np.testing.assert_allclose(
+            dx[9:12], (u[0:3] + u[6:9]) / 15.0 + jnp.asarray([0, 0, -9.8]), atol=1e-12
+        )
+
+    def test_closed_form_jacobians_match_autodiff(self, params):
+        for _ in range(5):
+            x, u = rand_state(), rand_input()
+            J_fx, J_fu = srbd.continuous_jacobians(params, x, u)
+            J_fx_ad, J_fu_ad = jax.jacfwd(srbd.continuous_dynamics, argnums=(1, 2))(
+                params, x, u
+            )
+            np.testing.assert_allclose(J_fx, J_fx_ad, atol=1e-9)
+            np.testing.assert_allclose(J_fu, J_fu_ad, atol=1e-9)
+
+    def test_jacobians_at_zero_orientation(self, params):
+        x = jnp.zeros(12)
+        u = rand_input()
+        J_fx, J_fu = srbd.continuous_jacobians(params, x, u)
+        J_fx_ad, J_fu_ad = jax.jacfwd(srbd.continuous_dynamics, argnums=(1, 2))(
+            params, x, u
+        )
+        np.testing.assert_allclose(J_fx, J_fx_ad, atol=1e-6)
+        np.testing.assert_allclose(J_fu, J_fu_ad, atol=1e-9)
+
+
+class TestShooting:
+    def test_rk4_fourth_order(self, params):
+        """Halving dt must shrink the local error ~16-32x (O(dt^5) local)."""
+        x, u = rand_state(0.3), rand_input(20.0)
+
+        def integrate(dt, steps):
+            p = srbd.SRBDParams.create(dt=float(dt), dtype=jnp.float64)
+            xx = x
+            for _ in range(steps):
+                xx = srbd.rk4_step(p, xx, u)
+            return xx
+
+        ref = integrate(0.015 / 64, 64)
+        e1 = np.linalg.norm(integrate(0.015, 1) - ref)
+        e2 = np.linalg.norm(integrate(0.015 / 2, 2) - ref)
+        assert e2 < e1 / 12.0  # ~16x for a 4th-order method
+
+    def test_defect_zero_on_trajectory(self, params):
+        x, u = rand_state(), rand_input()
+        x_next = srbd.rk4_step(params, x, u)
+        f = srbd.shooting_defect(params, x, x_next, u)
+        np.testing.assert_allclose(f, np.zeros(12), atol=1e-12)
+
+    def test_euler_sensitivity_structure(self, params):
+        """Parity: A = I + dt*J_fx, B = dt*J_fu (SRBD_model.cpp:180-181)."""
+        x, u = rand_state(), rand_input()
+        x_next = rand_state()
+        A, B, b, f = srbd.linearize_shooting(params, x, x_next, u, "euler")
+        J_fx, J_fu = srbd.continuous_jacobians(params, x, u)
+        np.testing.assert_allclose(A, np.eye(12) + 0.015 * J_fx, atol=1e-12)
+        np.testing.assert_allclose(B, 0.015 * J_fu, atol=1e-12)
+        np.testing.assert_allclose(b, -f, atol=1e-14)
+
+    def test_exact_sensitivity_is_rk4_jacobian(self, params):
+        x, u = rand_state(), rand_input()
+        x_next = rand_state()
+        A, B, _, _ = srbd.linearize_shooting(params, x, x_next, u, "exact")
+        eps = 1e-7
+        for j in [0, 4, 9]:
+            dx = jnp.zeros(12).at[j].set(eps)
+            fd = (srbd.rk4_step(params, x + dx, u) - srbd.rk4_step(params, x - dx, u)) / (2 * eps)
+            np.testing.assert_allclose(A[:, j], fd, atol=1e-6)
+        for j in [2, 7]:
+            du = jnp.zeros(12).at[j].set(eps)
+            fd = (srbd.rk4_step(params, x, u + du) - srbd.rk4_step(params, x, u - du)) / (2 * eps)
+            np.testing.assert_allclose(B[:, j], fd, atol=1e-6)
+
+    def test_euler_close_to_exact_at_small_dt(self):
+        p = srbd.SRBDParams.create(dt=1e-4, dtype=jnp.float64)
+        x, u = rand_state(), rand_input()
+        A1, B1, _, _ = srbd.linearize_shooting(p, x, x, u, "euler")
+        A2, B2, _, _ = srbd.linearize_shooting(p, x, x, u, "exact")
+        np.testing.assert_allclose(A1, A2, atol=1e-6)
+        np.testing.assert_allclose(B1, B2, atol=1e-6)
+
+
+class TestConstraints:
+    def test_manual_construction(self, params):
+        """Rebuild Ac row-by-row with numpy and compare
+        (SRBD_model.cpp:244-257)."""
+        Ac, bc = srbd.constraint_matrix(params)
+        Ac, bc = np.asarray(Ac), np.asarray(bc)
+        mu, lfx, lfz, fmax, fmin = 0.5, 0.05, 0.05, 1000.0, 0.0
+        R = np.eye(3)
+        want = np.zeros((24, 12))
+        want_b = np.zeros(24)
+        for leg in range(2):
+            c = 6 * leg
+            r0 = 12 * leg
+            rx, ry, rz = R[:, 0], R[:, 1], R[:, 2]
+            want[r0 + 0, c:c + 3] = [-1, 0, mu]
+            want[r0 + 1, c:c + 3] = [0, -1, mu]
+            want[r0 + 2, c:c + 3] = [1, 0, mu]
+            want[r0 + 3, c:c + 3] = [0, 1, mu]
+            want[r0 + 4, c:c + 3] = [0, 0, -1]
+            want[r0 + 5, c:c + 3] = [0, 0, 1]
+            want[r0 + 6, c:c + 3] = lfx * rz; want[r0 + 6, c + 3:c + 6] = -ry
+            want[r0 + 7, c:c + 3] = lfx * rz; want[r0 + 7, c + 3:c + 6] = ry
+            want[r0 + 8, c:c + 3] = lfz * rz; want[r0 + 8, c + 3:c + 6] = -rz
+            want[r0 + 9, c:c + 3] = lfz * rz; want[r0 + 9, c + 3:c + 6] = rz
+            want[r0 + 10, c + 3:c + 6] = -rx
+            want[r0 + 11, c + 3:c + 6] = rx
+            want_b[r0 + 4] = fmax
+            want_b[r0 + 5] = -fmin
+        np.testing.assert_allclose(Ac, want, atol=1e-14)
+        np.testing.assert_allclose(bc, want_b, atol=1e-14)
+
+    def test_feasible_stance_force_positive(self, params):
+        # Pure vertical support force inside the cone must be feasible.
+        u = jnp.zeros(12).at[2].set(73.5).at[8].set(73.5)  # m*g/2 each leg
+        vals = srbd.constraint_values(params, u)
+        assert np.all(np.asarray(vals) >= 0.0)
+
+    def test_infeasible_sideways_force(self, params):
+        u = jnp.zeros(12).at[0].set(100.0).at[2].set(10.0)  # Fx >> mu*Fz
+        vals = srbd.constraint_values(params, u)
+        assert np.any(np.asarray(vals) < 0.0)
+
+
+class TestBarrier:
+    def test_log_branch(self):
+        b, db, ddb = relaxed_log_barrier(jnp.asarray(10.0), 0.1, 5.0)
+        np.testing.assert_allclose(b, -0.1 * np.log(10.0), atol=1e-12)
+        np.testing.assert_allclose(db, -0.1 / 10.0, atol=1e-12)
+        np.testing.assert_allclose(ddb, 0.1 / 100.0, atol=1e-12)
+
+    def test_quadratic_branch(self):
+        mu, th = 0.1, 5.0
+        v = 2.0
+        b, db, ddb = relaxed_log_barrier(jnp.asarray(v), mu, th)
+        z = (v - 2 * th) / th
+        np.testing.assert_allclose(b, 0.5 * mu * (z * z - 1) - mu * np.log(th), atol=1e-12)
+        np.testing.assert_allclose(db, mu * (v - 2 * th) / th**2, atol=1e-12)
+        np.testing.assert_allclose(ddb, mu / th**2, atol=1e-12)
+
+    def test_c2_continuity_at_threshold(self):
+        mu, th = 0.1, 5.0
+        eps = 1e-9
+        lo = relaxed_log_barrier(jnp.asarray(th - eps), mu, th)
+        hi = relaxed_log_barrier(jnp.asarray(th + eps), mu, th)
+        for a, b in zip(lo, hi):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_derivatives_match_autodiff(self):
+        mu, th = 0.1, 5.0
+        for v in [0.5, 4.9, 5.1, 50.0, -1.0]:
+            b, db, ddb = relaxed_log_barrier(jnp.asarray(v), mu, th)
+            f = lambda vv: relaxed_log_barrier(vv, mu, th)[0]
+            np.testing.assert_allclose(db, jax.grad(f)(jnp.asarray(v)), atol=1e-9)
+            np.testing.assert_allclose(
+                ddb, jax.grad(jax.grad(f))(jnp.asarray(v)), atol=1e-9
+            )
+
+    def test_no_nan_for_negative_values(self):
+        b, db, ddb = relaxed_log_barrier(jnp.asarray([-5.0, -1e8]), 0.1, 5.0)
+        assert np.all(np.isfinite(b)) and np.all(np.isfinite(db)) and np.all(np.isfinite(ddb))
+        g = jax.grad(lambda v: jnp.sum(relaxed_log_barrier(v, 0.1, 5.0)[0]))(
+            jnp.asarray([-5.0, 3.0, 10.0])
+        )
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestBatching:
+    def test_vmap_over_scenarios(self, params):
+        xs = jnp.asarray(RNG.normal(size=(16, 12)) * 0.3)
+        us = jnp.asarray(RNG.normal(size=(16, 12)) * 30.0)
+        dxs = jax.vmap(lambda x, u: srbd.continuous_dynamics(params, x, u))(xs, us)
+        assert dxs.shape == (16, 12)
+        np.testing.assert_allclose(
+            dxs[3], srbd.continuous_dynamics(params, xs[3], us[3]), atol=1e-12
+        )
