@@ -1,0 +1,445 @@
+"""Structure-exploiting primal-dual interior-point solver for OCP-QPs.
+
+TPU-native replacement for the used functionality of HPIPM's
+``d_ocp_qp_ipm_solve`` (reached by the reference at
+/root/reference/hpipm-cpp/src/ocp_qp_ipm_solver.cpp:334): a Mehrotra
+predictor-corrector IPM over box (x, u) and general (C x + D u) constraints
+with HPIPM-style one-sided masks, each Newton system solved by ONE Riccati
+factorization reused for predictor and corrector rhs.
+
+Algorithm (per iteration, standard Mehrotra with slacks s and duals lam
+for lower/upper bounds; all constraint rows stacked per stage):
+  1. W = lam_l/s_l + lam_u/s_u  ->  stage Hessian augmentation
+     (Q,S,R) += G' W G, the slack elimination of the Newton KKT system;
+  2. predictor (sigma = 0) -> affine step, alpha_aff, mu_aff;
+  3. sigma = (mu_aff/mu)^3; corrector rhs adds Ds_aff*Dlam_aff - sigma*mu;
+  4. fraction-to-boundary step sizes (0.995); ``split_step`` selects
+     independent primal/dual steps vs a common one (the settings surface of
+     ocp_qp_ipm_solver_settings.hpp:10-92);
+  5. iterates updated; residuals/statistics recorded
+     (ocp_qp_ipm_solver_statistics.hpp:15-58).
+
+Design notes (vs HPIPM):
+- primal iterates (x, u) stay exactly dynamics-feasible: initialization
+  rolls out from x0 and every Newton step satisfies the homogeneous
+  dynamics, so res_eq is ~machine-eps by construction (HPIPM is
+  infeasible-start in the equality constraints as well);
+- the whole solve is a fixed-shape `lax.while_loop`, `vmap`-able over
+  scenario batches: per-scenario convergence masking comes free from
+  JAX's vmap-of-while lowering;
+- the initial state is an argument (x0), not an eliminated stage — no
+  nx[0]=0 shuffling (cf. ocp_qp_ipm_solver.cpp:127-139) and no stage-0
+  Riccati reconstruction (:347-373): the recursion emits stage 0 directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from srbd_nmpc_tpu.ocpqp.data import OcpQp, OcpQpDims
+from srbd_nmpc_tpu.ocpqp.settings import IpmSettings, IpmStatus
+from srbd_nmpc_tpu.ocpqp.solution import OcpQpSolution
+from srbd_nmpc_tpu.ocpqp.statistics import IpmStatistics
+from srbd_nmpc_tpu.ops.riccati import (
+    RiccatiFactors,
+    kkt_residuals,
+    lqr_solve,
+    riccati_factorize,
+    riccati_solve_vectors,
+)
+
+_FRAC_TO_BOUND = 0.995  # fraction-to-boundary factor (HPIPM default)
+
+
+class _ConstraintSystem(NamedTuple):
+    """Stacked per-stage constraint geometry: rows = [box-x, box-u, general].
+
+    Gx [N+1, m, nx], Gu [N+1, m, nu]; bounds/masks [N+1, m]. Masked-out or
+    structurally absent rows have mask 0 and are inert (slack pinned to 1,
+    dual to 0).
+    """
+
+    Gx: jnp.ndarray
+    Gu: jnp.ndarray
+    lb: jnp.ndarray
+    ub: jnp.ndarray
+    mask_l: jnp.ndarray
+    mask_u: jnp.ndarray
+
+
+def _build_constraints(qp: OcpQp, dims: OcpQpDims, x0: jnp.ndarray) -> _ConstraintSystem:
+    """Assemble the stacked constraint system.
+
+    Structural masking mirrors HPIPM's dimension rules: stage-0 x-box rows
+    are disabled (x0 is data, ocp_qp_ipm_solver.cpp:127-130), stage-N u
+    rows are absent, stage-0 general rows act on u only with the C0 x0
+    offset folded into the bounds (the initial-state embedding,
+    ocp_qp_ipm_solver.cpp:225-249).
+    """
+    N, nx, nu = dims.N, dims.nx, dims.nu
+    nbx, nbu, ng = dims.nbx, dims.nbu, dims.ng
+    m = nbx + nbu + ng
+    dtype = qp.A.dtype
+
+    Gx = jnp.zeros((N + 1, m, nx), dtype)
+    Gu = jnp.zeros((N + 1, m, nu), dtype)
+    lb = jnp.zeros((N + 1, m), dtype)
+    ub = jnp.zeros((N + 1, m), dtype)
+    mask_l = jnp.zeros((N + 1, m), dtype)
+    mask_u = jnp.zeros((N + 1, m), dtype)
+
+    stage_idx = jnp.arange(N + 1)
+
+    if nbx:
+        Ex = jnp.zeros((nbx, nx), dtype)
+        Ex = Ex.at[jnp.arange(nbx), jnp.asarray(qp.idxbx)].set(1.0)
+        avail = (stage_idx >= 1).astype(dtype)[:, None]  # no stage-0 x box
+        Gx = Gx.at[:, 0:nbx, :].set(Ex[None] * avail[..., None])
+        lb = lb.at[:, 0:nbx].set(qp.lbx)
+        ub = ub.at[:, 0:nbx].set(qp.ubx)
+        ml = qp.lbx_mask if qp.lbx_mask is not None else jnp.ones_like(qp.lbx)
+        mu_ = qp.ubx_mask if qp.ubx_mask is not None else jnp.ones_like(qp.ubx)
+        mask_l = mask_l.at[:, 0:nbx].set(ml * avail)
+        mask_u = mask_u.at[:, 0:nbx].set(mu_ * avail)
+
+    if nbu:
+        Eu = jnp.zeros((nbu, nu), dtype)
+        Eu = Eu.at[jnp.arange(nbu), jnp.asarray(qp.idxbu)].set(1.0)
+        avail = (stage_idx < N).astype(dtype)[:, None]  # no terminal u
+        o = nbx
+        Gu = Gu.at[:, o:o + nbu, :].set(Eu[None] * avail[..., None])
+        lb = lb.at[:N, o:o + nbu].set(qp.lbu)
+        ub = ub.at[:N, o:o + nbu].set(qp.ubu)
+        ml = qp.lbu_mask if qp.lbu_mask is not None else jnp.ones_like(qp.lbu)
+        mu_ = qp.ubu_mask if qp.ubu_mask is not None else jnp.ones_like(qp.ubu)
+        mask_l = mask_l.at[:N, o:o + nbu].set(ml * avail[:N])
+        mask_u = mask_u.at[:N, o:o + nbu].set(mu_ * avail[:N])
+
+    if ng:
+        o = nbx + nbu
+        # stage 0: x0 is fixed -> Gx row zero, bounds shifted by C0 x0
+        Cx0 = qp.C[0] @ x0
+        Gx = Gx.at[1:, o:o + ng, :].set(qp.C[1:])
+        D_full = jnp.concatenate(
+            [qp.D, jnp.zeros((1, ng, nu), dtype)], axis=0
+        )
+        Gu = Gu.at[:, o:o + ng, :].set(D_full)
+        lg = qp.lg.at[0].add(-Cx0)
+        ug = qp.ug.at[0].add(-Cx0)
+        lb = lb.at[:, o:o + ng].set(lg)
+        ub = ub.at[:, o:o + ng].set(ug)
+        ml = qp.lg_mask if qp.lg_mask is not None else jnp.ones_like(qp.lg)
+        mu_ = qp.ug_mask if qp.ug_mask is not None else jnp.ones_like(qp.ug)
+        mask_l = mask_l.at[:, o:o + ng].set(ml)
+        mask_u = mask_u.at[:, o:o + ng].set(mu_)
+
+    return _ConstraintSystem(Gx=Gx, Gu=Gu, lb=lb, ub=ub,
+                             mask_l=mask_l, mask_u=mask_u)
+
+
+class _Iterate(NamedTuple):
+    x: jnp.ndarray       # [N+1, nx]
+    u: jnp.ndarray       # [N, nu]
+    pi: jnp.ndarray      # [N+1, nx]
+    sl: jnp.ndarray      # [N+1, m] lower slacks (v - lb)
+    su: jnp.ndarray      # [N+1, m] upper slacks (ub - v)
+    ll: jnp.ndarray      # [N+1, m] lower duals
+    lu: jnp.ndarray      # [N+1, m] upper duals
+
+
+def _cvals(con: _ConstraintSystem, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    u_full = jnp.concatenate([u, jnp.zeros_like(u[:1])], axis=0)
+    return (jnp.einsum("nmj,nj->nm", con.Gx, x)
+            + jnp.einsum("nmj,nj->nm", con.Gu, u_full))
+
+
+def _rollout(qp: OcpQp, x0: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    def step(x, stage):
+        A, B, b, u_i = stage
+        x1 = A @ x + B @ u_i + b
+        return x1, x
+    xN, xs = lax.scan(step, x0, (qp.A, qp.B, qp.b, u))
+    return jnp.concatenate([xs, xN[None]], axis=0)
+
+
+def _stat_residuals(qp: OcpQp, con: _ConstraintSystem, it: _Iterate):
+    """True-KKT stationarity residuals (with constraint dual terms)."""
+    lam = it.lu * con.mask_u - it.ll * con.mask_l          # [N+1, m]
+    gx_lam = jnp.einsum("nmj,nm->nj", con.Gx, lam)         # [N+1, nx]
+    gu_lam = jnp.einsum("nmj,nm->nj", con.Gu, lam)[:-1]    # [N, nu]
+
+    r_dyn, r_sx, r_su = kkt_residuals(qp, it.x, it.u, it.pi)
+    return r_dyn, r_sx + gx_lam, r_su + gu_lam
+
+
+def _objective(qp: OcpQp, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    quad_x = 0.5 * jnp.einsum("ni,nij,nj->", x, qp.Q, x) + jnp.sum(qp.q * x)
+    quad_u = 0.5 * jnp.einsum("ni,nij,nj->", u, qp.R, u) + jnp.sum(qp.r * u)
+    cross = jnp.einsum("ni,nij,nj->", u, qp.S, x[:-1])
+    return quad_x + quad_u + cross
+
+
+def ipm_solve(
+    qp: OcpQp,
+    x0: jnp.ndarray,
+    settings: IpmSettings = IpmSettings(),
+    warm_start: Optional[OcpQpSolution] = None,
+) -> Tuple[OcpQpSolution, IpmStatistics]:
+    """Solve the OCP-QP. Returns (solution, statistics).
+
+    If the QP has no inequality rows, this is a single exact Riccati solve
+    and ``statistics.iter == 0`` — matching the reference's unconstrained
+    contract (hpipm-cpp/test/ocp_qp_ipm_solver.cpp:56).
+    """
+    dims = qp.dims
+    dtype = qp.A.dtype
+    iter_max = settings.iter_max
+
+    if not dims.has_constraints:
+        sol = lqr_solve(qp, x0, reg=settings.reg_prim)
+        r_dyn, r_sx, r_su = kkt_residuals(qp, sol.x, sol.u, sol.pi)
+        res_stat = jnp.maximum(jnp.max(jnp.abs(r_sx)), jnp.max(jnp.abs(r_su)))
+        zeros = jnp.zeros((iter_max + 1,), dtype)
+        stats = IpmStatistics(
+            iter=jnp.asarray(0, jnp.int32),
+            status=jnp.asarray(IpmStatus.SUCCESS, jnp.int32),
+            max_res_stat=res_stat,
+            max_res_eq=jnp.max(jnp.abs(r_dyn)),
+            max_res_ineq=jnp.asarray(0.0, dtype),
+            max_res_comp=jnp.asarray(0.0, dtype),
+            alpha_aff=zeros, mu_aff=zeros, sigma=zeros,
+            alpha_prim=zeros, alpha_dual=zeros, mu=zeros,
+            res_stat=zeros.at[0].set(res_stat),
+            res_eq=zeros.at[0].set(jnp.max(jnp.abs(r_dyn))),
+            res_ineq=zeros, res_comp=zeros,
+            obj=zeros.at[0].set(_objective(qp, sol.x, sol.u)),
+        )
+        return sol, stats
+
+    con = _build_constraints(qp, dims, x0)
+    mask_any = jnp.maximum(con.mask_l, con.mask_u)
+    n_act = jnp.sum(con.mask_l) + jnp.sum(con.mask_u)
+    n_act = jnp.maximum(n_act, 1.0)
+
+    # --- initialization -----------------------------------------------------
+    if settings.warm_start and warm_start is not None:
+        u_init = warm_start.u.astype(dtype)
+    else:
+        u_init = jnp.zeros((dims.N, dims.nu), dtype)
+    x_init = _rollout(qp, x0, u_init)
+    v0 = _cvals(con, x_init, u_init)
+    s_floor = jnp.asarray(jnp.sqrt(settings.mu0), dtype)
+    sl0 = jnp.where(con.mask_l > 0, jnp.maximum(v0 - con.lb, s_floor), 1.0)
+    su0 = jnp.where(con.mask_u > 0, jnp.maximum(con.ub - v0, s_floor), 1.0)
+    ll0 = jnp.where(con.mask_l > 0, settings.mu0 / sl0, 0.0)
+    lu0 = jnp.where(con.mask_u > 0, settings.mu0 / su0, 0.0)
+    it0 = _Iterate(x=x_init, u=u_init, pi=jnp.zeros_like(x_init),
+                   sl=sl0, su=su0, ll=ll0, lu=lu0)
+
+    def compute_mu(it: _Iterate) -> jnp.ndarray:
+        return (jnp.sum(it.ll * it.sl * con.mask_l)
+                + jnp.sum(it.lu * it.su * con.mask_u)) / n_act
+
+    def residual_norms(it: _Iterate):
+        r_dyn, r_sx, r_su = _stat_residuals(qp, con, it)
+        v = _cvals(con, it.x, it.u)
+        r_l = (v - con.lb - it.sl) * con.mask_l
+        r_u = (con.ub - v - it.su) * con.mask_u
+        res_stat = jnp.maximum(jnp.max(jnp.abs(r_sx)), jnp.max(jnp.abs(r_su)))
+        res_eq = jnp.max(jnp.abs(r_dyn))
+        res_ineq = jnp.maximum(jnp.max(jnp.abs(r_l)), jnp.max(jnp.abs(r_u)))
+        res_comp = jnp.maximum(
+            jnp.max(jnp.abs(it.ll * it.sl * con.mask_l)),
+            jnp.max(jnp.abs(it.lu * it.su * con.mask_u)),
+        )
+        return (r_dyn, r_sx, r_su, r_l, r_u), (res_stat, res_eq, res_ineq, res_comp)
+
+    def max_step(val: jnp.ndarray, dval: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """Largest alpha in (0,1] with val + alpha dval >= (1-tau) restriction."""
+        neg = (dval < 0) & (mask > 0)
+        ratio = jnp.where(neg, -val / jnp.where(neg, dval, -1.0), jnp.inf)
+        return jnp.minimum(1.0, jnp.min(ratio))
+
+    def newton_direction(it: _Iterate, fac: RiccatiFactors, aug, rhs_c_l, rhs_c_u,
+                         resids):
+        """Solve one Newton system given the shared factorization.
+
+        rhs_c_* are the complementarity right-hand sides (lam*s for the
+        predictor; + correction - sigma*mu for the corrector).
+        """
+        (r_dyn, r_sx, r_su, r_l, r_u) = resids
+        A_aug, B_aug = qp.A, qp.B
+        inv_sl = jnp.where(con.mask_l > 0, 1.0 / it.sl, 0.0)
+        inv_su = jnp.where(con.mask_u > 0, 1.0 / it.su, 0.0)
+        # d = Sl^-1 (r_cl + Lam_l r_l) - Su^-1 (r_cu + Lam_u r_u)
+        d = (inv_sl * (rhs_c_l + it.ll * r_l)
+             - inv_su * (rhs_c_u + it.lu * r_u))
+        q_add = jnp.einsum("nmj,nm->nj", con.Gx, d)
+        r_add = jnp.einsum("nmj,nm->nj", con.Gu, d)[:-1]
+
+        dx, du, dpi, _, _ = riccati_solve_vectors(
+            fac, A_aug, B_aug, r_dyn,
+            r_sx + q_add, r_su + r_add, jnp.zeros_like(x0),
+        )
+        # riccati minimizes 1/2 z'Hz + g'z -> step is the MINUS-Newton of
+        # residual system; here rhs entered with +res so returned (dx,du)
+        # already solve H dz + res = 0.
+        Gdx = jnp.einsum("nmj,nj->nm", con.Gx, dx)
+        du_full = jnp.concatenate([du, jnp.zeros_like(du[:1])], axis=0)
+        Gdu = jnp.einsum("nmj,nj->nm", con.Gu, du_full)
+        Gdz = Gdx + Gdu
+        dsl = (Gdz + r_l) * con.mask_l
+        dsu = (-Gdz + r_u) * con.mask_u
+        dll = jnp.where(con.mask_l > 0, -inv_sl * (rhs_c_l + it.ll * dsl), 0.0)
+        dlu = jnp.where(con.mask_u > 0, -inv_su * (rhs_c_u + it.lu * dsu), 0.0)
+        return _Iterate(x=dx, u=du, pi=dpi, sl=dsl, su=dsu, ll=dll, lu=dlu)
+
+    def one_iteration(it: _Iterate):
+        resids, _ = residual_norms(it)
+        mu = compute_mu(it)
+
+        # slack-eliminated Hessian augmentation W
+        W = (jnp.where(con.mask_l > 0, it.ll / it.sl, 0.0)
+             + jnp.where(con.mask_u > 0, it.lu / it.su, 0.0))
+        Q_aug = qp.Q + jnp.einsum("nmi,nm,nmj->nij", con.Gx, W, con.Gx)
+        Gu_w = con.Gu[:-1]
+        R_aug = qp.R + jnp.einsum("nmi,nm,nmj->nij", Gu_w, W[:-1], Gu_w)
+        S_aug = qp.S + jnp.einsum("nmi,nm,nmj->nij", Gu_w, W[:-1], con.Gx[:-1])
+        fac = riccati_factorize(qp.A, qp.B, Q_aug, S_aug, R_aug,
+                                reg=settings.reg_prim)
+
+        # predictor (affine): complementarity rhs = lam*s (sigma = 0)
+        rc_l_aff = it.ll * it.sl * con.mask_l
+        rc_u_aff = it.lu * it.su * con.mask_u
+        d_aff = newton_direction(it, fac, None, rc_l_aff, rc_u_aff, resids)
+
+        a_aff = jnp.minimum(
+            jnp.minimum(max_step(it.sl, d_aff.sl, con.mask_l),
+                        max_step(it.su, d_aff.su, con.mask_u)),
+            jnp.minimum(max_step(it.ll, d_aff.ll, con.mask_l),
+                        max_step(it.lu, d_aff.lu, con.mask_u)),
+        )
+        mu_aff = (
+            jnp.sum((it.ll + a_aff * d_aff.ll) * (it.sl + a_aff * d_aff.sl) * con.mask_l)
+            + jnp.sum((it.lu + a_aff * d_aff.lu) * (it.su + a_aff * d_aff.su) * con.mask_u)
+        ) / n_act
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+
+        if settings.pred_corr:
+            rc_l = rc_l_aff + (d_aff.ll * d_aff.sl - sigma * mu) * con.mask_l
+            rc_u = rc_u_aff + (d_aff.lu * d_aff.su - sigma * mu) * con.mask_u
+            d = newton_direction(it, fac, None, rc_l, rc_u, resids)
+        else:
+            rc_l = rc_l_aff - sigma * mu * con.mask_l
+            rc_u = rc_u_aff - sigma * mu * con.mask_u
+            d = newton_direction(it, fac, None, rc_l, rc_u, resids)
+
+        tau = jnp.asarray(_FRAC_TO_BOUND, dtype)
+        a_slack = tau * jnp.minimum(max_step(it.sl, d.sl, con.mask_l),
+                                    max_step(it.su, d.su, con.mask_u))
+        a_dual = tau * jnp.minimum(max_step(it.ll, d.ll, con.mask_l),
+                                   max_step(it.lu, d.lu, con.mask_u))
+        if settings.split_step:
+            a_prim, a_du = a_slack, a_dual
+        else:
+            a = jnp.minimum(a_slack, a_dual)
+            a_prim, a_du = a, a
+
+        new_it = _Iterate(
+            x=it.x + a_prim * d.x,
+            u=it.u + a_prim * d.u,
+            pi=it.pi + a_du * d.pi,
+            sl=jnp.where(con.mask_l > 0, it.sl + a_prim * d.sl, 1.0),
+            su=jnp.where(con.mask_u > 0, it.su + a_prim * d.su, 1.0),
+            ll=jnp.where(con.mask_l > 0, it.ll + a_du * d.ll, 0.0),
+            lu=jnp.where(con.mask_u > 0, it.lu + a_du * d.lu, 0.0),
+        )
+        per_iter = dict(alpha_aff=a_aff, mu_aff=mu_aff, sigma=sigma,
+                        alpha_prim=a_prim, alpha_dual=a_du)
+        return new_it, fac, per_iter
+
+    # --- main loop ----------------------------------------------------------
+    stat_cols = ("alpha_aff", "mu_aff", "sigma", "alpha_prim", "alpha_dual",
+                 "mu", "res_stat", "res_eq", "res_ineq", "res_comp", "obj")
+    zeros_hist = {c: jnp.zeros((iter_max + 1,), dtype) for c in stat_cols}
+
+    fac0 = riccati_factorize(qp.A, qp.B, qp.Q, qp.S, qp.R, settings.reg_prim)
+
+    def record(hist, i, it: _Iterate, extra):
+        _, (rs, re, ri, rc) = residual_norms(it)
+        vals = dict(mu=compute_mu(it), res_stat=rs, res_eq=re, res_ineq=ri,
+                    res_comp=rc, obj=_objective(qp, it.x, it.u), **extra)
+        return {c: hist[c].at[i].set(vals.get(c, 0.0)) for c in stat_cols}
+
+    def converged(it: _Iterate):
+        _, (rs, re, ri, rc) = residual_norms(it)
+        return ((rs < settings.tol_stat) & (re < settings.tol_eq)
+                & (ri < settings.tol_ineq) & (rc < settings.tol_comp))
+
+    def cond(carry):
+        it, i, hist, status = carry
+        running = status == int(IpmStatus.MAX_ITER_REACHED)
+        return (i < iter_max) & running & jnp.logical_not(converged(it))
+
+    def body(carry):
+        it, i, hist, status = carry
+        new_it, _, extra = one_iteration(it)
+        nan = jnp.logical_not(
+            jnp.isfinite(jnp.sum(new_it.x) + jnp.sum(new_it.u)
+                         + jnp.sum(new_it.ll) + jnp.sum(new_it.lu))
+        )
+        tiny_step = jnp.maximum(extra["alpha_prim"], extra["alpha_dual"]) < settings.alpha_min
+        new_status = jnp.where(
+            nan, int(IpmStatus.NAN_DETECTED),
+            jnp.where(tiny_step, int(IpmStatus.MIN_STEP_LENGTH_REACHED),
+                      int(IpmStatus.MAX_ITER_REACHED)),
+        ).astype(jnp.int32)
+        new_it = jax.tree.map(
+            lambda new, old: jnp.where(nan, old, new), new_it, it
+        )
+        hist = record(hist, i + 1, new_it, extra)
+        return (new_it, i + 1, hist, new_status)
+
+    hist0 = record(zeros_hist, 0, it0, dict(alpha_aff=0.0, mu_aff=0.0, sigma=0.0,
+                                            alpha_prim=0.0, alpha_dual=0.0))
+    status0 = jnp.asarray(int(IpmStatus.MAX_ITER_REACHED), jnp.int32)
+    it_f, n_iter, hist, status = lax.while_loop(cond, body, (it0, 0, hist0, status0))
+
+    status = jnp.where(
+        (status == int(IpmStatus.MAX_ITER_REACHED)) & converged(it_f),
+        jnp.asarray(int(IpmStatus.SUCCESS), jnp.int32), status,
+    )
+
+    # final factorization for the Riccati surface of the solution (HPIPM
+    # returns the last iteration's ric quantities; we refresh them at the
+    # final iterate's augmentation for a consistent (P, K, k, p) surface)
+    W = (jnp.where(con.mask_l > 0, it_f.ll / it_f.sl, 0.0)
+         + jnp.where(con.mask_u > 0, it_f.lu / it_f.su, 0.0))
+    Q_aug = qp.Q + jnp.einsum("nmi,nm,nmj->nij", con.Gx, W, con.Gx)
+    Gu_w = con.Gu[:-1]
+    R_aug = qp.R + jnp.einsum("nmi,nm,nmj->nij", Gu_w, W[:-1], Gu_w)
+    S_aug = qp.S + jnp.einsum("nmi,nm,nmj->nij", Gu_w, W[:-1], con.Gx[:-1])
+    lam = it_f.lu * con.mask_u - it_f.ll * con.mask_l
+    q_aug = qp.q + jnp.einsum("nmj,nm->nj", con.Gx, lam)
+    r_aug = qp.r + jnp.einsum("nmj,nm->nj", con.Gu, lam)[:-1]
+    fac_f = riccati_factorize(qp.A, qp.B, Q_aug, S_aug, R_aug, settings.reg_prim)
+    _, _, _, p_f, k_f = riccati_solve_vectors(
+        fac_f, qp.A, qp.B, qp.b, q_aug, r_aug, x0
+    )
+
+    sol = OcpQpSolution(x=it_f.x, u=it_f.u, pi=it_f.pi,
+                        P=fac_f.P, p=p_f, K=fac_f.K, k=k_f)
+
+    _, (rs, re, ri, rc) = residual_norms(it_f)
+    stats = IpmStatistics(
+        iter=n_iter.astype(jnp.int32),
+        status=status,
+        max_res_stat=rs, max_res_eq=re, max_res_ineq=ri, max_res_comp=rc,
+        **hist,
+    )
+    return sol, stats

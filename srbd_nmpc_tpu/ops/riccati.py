@@ -30,6 +30,7 @@ p_0 directly, which the reference must reconstruct by hand
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Tuple
 
 import jax
@@ -46,42 +47,106 @@ def _chol_solve(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RiccatiFactors:
+    """Matrix part of the Riccati recursion, reusable across right-hand
+    sides (predictor/corrector steps of the IPM share one factorization,
+    as HPIPM does; iterative refinement reuses it too).
+
+    P [N+1,nx,nx] value Hessians; K [N,nu,nx] gains; L [N,nu,nu] lower
+    Cholesky factors of G = R + B'P'B (+reg); H [N,nu,nx] = S + B'P'A.
+    """
+
+    P: jnp.ndarray
+    K: jnp.ndarray
+    L: jnp.ndarray
+    H: jnp.ndarray
+
+
+def riccati_factorize(
+    A: jnp.ndarray, B: jnp.ndarray, Q: jnp.ndarray, S: jnp.ndarray,
+    R: jnp.ndarray, reg: float = 0.0,
+) -> RiccatiFactors:
+    """Backward matrix recursion (cost-to-go Hessians + gains)."""
+    nu = B.shape[-1]
+    dtype = A.dtype
+    reg_eye = jnp.asarray(reg, dtype) * jnp.eye(nu, dtype=dtype)
+
+    def step(P_next, stage):
+        A_i, B_i, Q_i, S_i, R_i = stage
+        PA = P_next @ A_i
+        G = R_i + B_i.T @ (P_next @ B_i) + reg_eye
+        G = 0.5 * (G + G.T)
+        H = S_i + B_i.T @ PA
+        L = jnp.linalg.cholesky(G)
+        K = -_chol_solve(L, H)
+        P = Q_i + A_i.T @ PA + H.T @ K
+        P = 0.5 * (P + P.T)
+        return P, (P, K, L, H)
+
+    _, (P_rest, K, L, H) = lax.scan(
+        step, Q[-1], (A, B, Q[:-1], S, R), reverse=True
+    )
+    P = jnp.concatenate([P_rest, Q[-1][None]], axis=0)
+    return RiccatiFactors(P=P, K=K, L=L, H=H)
+
+
+def riccati_solve_vectors(
+    fac: RiccatiFactors,
+    A: jnp.ndarray, B: jnp.ndarray, b: jnp.ndarray,
+    q: jnp.ndarray, r: jnp.ndarray, x0: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Backward vector recursion + forward rollout for one rhs.
+
+    Returns (x [N+1,nx], u [N,nu], pi [N+1,nx], p [N+1,nx], k [N,nu]).
+    """
+
+    def back(p_next, stage):
+        A_i, B_i, b_i, q_i, r_i, P_next, L_i, H_i = stage
+        Pb_p = P_next @ b_i + p_next
+        k = -_chol_solve(L_i, B_i.T @ Pb_p + r_i)
+        p = q_i + A_i.T @ Pb_p + H_i.T @ k
+        return p, (p, k)
+
+    _, (p_rest, k) = lax.scan(
+        back, q[-1], (A, B, b, q[:-1], r, fac.P[1:], fac.L, fac.H), reverse=True
+    )
+    p = jnp.concatenate([p_rest, q[-1][None]], axis=0)
+
+    def fwd(x, stage):
+        K_i, k_i, A_i, B_i, b_i = stage
+        u = K_i @ x + k_i
+        x_next = A_i @ x + B_i @ u + b_i
+        return x_next, (x, u)
+
+    x_N, (x_rest, u) = lax.scan(fwd, x0, (fac.K, k, A, B, b))
+    x = jnp.concatenate([x_rest, x_N[None]], axis=0)
+    pi = jnp.einsum("nij,nj->ni", fac.P, x) + p
+    return x, u, pi, p, k
+
+
 def lqr_backward(
     qp: OcpQp, reg: float = 0.0
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Backward Riccati sweep. Returns (P [N+1,nx,nx], p [N+1,nx],
     K [N,nu,nx], k [N,nu])."""
-    nu = qp.B.shape[-1]
-    dtype = qp.A.dtype
-    reg_eye = jnp.asarray(reg, dtype) * jnp.eye(nu, dtype=dtype)
+    fac = riccati_factorize(qp.A, qp.B, qp.Q, qp.S, qp.R, reg)
 
-    P_N = qp.Q[-1]
-    p_N = qp.q[-1]
+    def back(p_next, stage):
+        A_i, B_i, b_i, q_i, r_i, P_next, L_i, H_i = stage
+        Pb_p = P_next @ b_i + p_next
+        k = -_chol_solve(L_i, B_i.T @ Pb_p + r_i)
+        p = q_i + A_i.T @ Pb_p + H_i.T @ k
+        return p, (p, k)
 
-    def step(carry, stage):
-        P_next, p_next = carry
-        A, B, b, Q, S, R, q, r = stage
-        PA = P_next @ A
-        PB = P_next @ B
-        Pb_p = P_next @ b + p_next
-        G = R + B.T @ PB + reg_eye
-        G = 0.5 * (G + G.T)
-        H = S + B.T @ PA
-        L = jnp.linalg.cholesky(G)
-        # one triangular solve for both gain and feedforward
-        rhs = jnp.concatenate([H, (B.T @ Pb_p + r)[:, None]], axis=1)
-        Kk = -_chol_solve(L, rhs)
-        K, k = Kk[:, :-1], Kk[:, -1]
-        P = Q + A.T @ PA + H.T @ K
-        P = 0.5 * (P + P.T)
-        p = q + A.T @ Pb_p + H.T @ k
-        return (P, p), (P, p, K, k)
-
-    stages = (qp.A, qp.B, qp.b, qp.Q[:-1], qp.S, qp.R, qp.q[:-1], qp.r)
-    (_, _), (P_rest, p_rest, K, k) = lax.scan(step, (P_N, p_N), stages, reverse=True)
-    P = jnp.concatenate([P_rest, P_N[None]], axis=0)
-    p = jnp.concatenate([p_rest, p_N[None]], axis=0)
-    return P, p, K, k
+    _, (p_rest, k) = lax.scan(
+        back, qp.q[-1],
+        (qp.A, qp.B, qp.b, qp.q[:-1], qp.r, fac.P[1:], fac.L, fac.H),
+        reverse=True,
+    )
+    p = jnp.concatenate([p_rest, qp.q[-1][None]], axis=0)
+    return fac.P, p, fac.K, k
 
 
 def lqr_forward(
@@ -134,29 +199,21 @@ def lqr_solve(
     """Solve an equality-constrained OCP-QP exactly (one factorize + solve).
 
     ``refine`` extra passes re-solve the identical KKT system with the
-    current residuals as right-hand side and add the correction — a
-    standard iterative-refinement loop that recovers ~f64-grade accuracy
-    from f32 factorizations (each pass costs one more backward+forward
-    scan). ``refine=0`` matches the reference single-solve semantics.
+    current residuals as right-hand side (reusing the factorization) and
+    add the correction — standard iterative refinement that recovers
+    ~f64-grade accuracy from f32 factorizations. ``refine=0`` matches the
+    reference single-solve semantics.
     """
-    P, p, K, k = lqr_backward(qp, reg=reg)
-    x, u = lqr_forward(qp, x0, K, k)
-    pi = jnp.einsum("nij,nj->ni", P, x) + p
+    fac = riccati_factorize(qp.A, qp.B, qp.Q, qp.S, qp.R, reg)
+    x, u, pi, p, k = riccati_solve_vectors(fac, qp.A, qp.B, qp.b, qp.q, qp.r, x0)
 
     for _ in range(refine):
         r_dyn, r_sx, r_su = kkt_residuals(qp, x, u, pi)
-        qp_cor = OcpQp(
-            A=qp.A, B=qp.B, b=r_dyn,
-            Q=qp.Q, S=qp.S, R=qp.R, q=r_sx, r=r_su,
+        ex, eu, epi, _, _ = riccati_solve_vectors(
+            fac, qp.A, qp.B, r_dyn, r_sx, r_su, jnp.zeros_like(x0)
         )
-        # error system shares the factorization structure; re-deriving
-        # (P, K) in it is pure overhead but keeps the code single-path —
-        # the refinement passes are off the default path.
-        Pe, pe, Ke, ke = lqr_backward(qp_cor, reg=reg)
-        ex, eu = lqr_forward(qp_cor, jnp.zeros_like(x0), Ke, ke)
-        epi = jnp.einsum("nij,nj->ni", Pe, ex) + pe
         x = x + ex
         u = u + eu
         pi = pi + epi
 
-    return OcpQpSolution(x=x, u=u, pi=pi, P=P, p=p, K=K, k=k)
+    return OcpQpSolution(x=x, u=u, pi=pi, P=fac.P, p=p, K=fac.K, k=k)

@@ -1,0 +1,80 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+The reference has no distributed anything (SURVEY.md §2); the contract here
+is internal consistency: a sharded batched solve must produce numerics
+identical to the unsharded one, with the batch actually partitioned across
+devices (same-numerics test pattern from SURVEY.md §4d).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srbd_nmpc_tpu.models import srbd
+from srbd_nmpc_tpu.nmpc import engine
+from srbd_nmpc_tpu.parallel import mesh as mesh_lib
+from srbd_nmpc_tpu.parallel import sharded
+
+
+def setup(batch, dtype=jnp.float64):
+    cfg = engine.NmpcConfig(N=10, sqp_max_iter=10)
+    params = srbd.SRBDParams.create(dt=0.015, dtype=dtype)
+    weights = engine.NmpcWeights.create(
+        Q_diag=[0] * 11 + [10], R_scalar=1e-4,
+        Qf_diag=[0.5, 0.5, 0.5, 0.01, 0.01, 0.01, 100, 100, 100, 0, 0, 100],
+        N=cfg.N, dtype=dtype,
+    )
+    x0, x_ref = engine.make_benchmark_problem(cfg, dtype)
+    rng = np.random.default_rng(11)
+    x0s = jnp.asarray(np.asarray(x0)[None] + 0.01 * rng.normal(size=(batch, 12)),
+                      dtype)
+    states = sharded.broadcast_state(engine.NmpcState.initial(cfg.N, dtype), batch)
+    return params, weights, cfg, states, x0s, x_ref
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_unsharded():
+    params, weights, cfg, states, x0s, x_ref = setup(batch=16)
+
+    solo = sharded.make_sharded_solver(cfg, mesh=None, donate_state=False)
+    s_ref, i_ref, sum_ref = jax.block_until_ready(
+        solo(params, weights, states, x0s, x_ref))
+
+    mesh = mesh_lib.make_mesh()
+    assert mesh.devices.size == 8
+    states_sh = mesh_lib.shard_scenario_batch(states, mesh)
+    x0s_sh = jax.device_put(x0s, mesh_lib.scenario_sharding(mesh))
+    dist = sharded.make_sharded_solver(cfg, mesh=mesh, donate_state=False)
+    s_sh, i_sh, sum_sh = jax.block_until_ready(
+        dist(params, weights, states_sh, x0s_sh, x_ref))
+
+    np.testing.assert_allclose(s_sh.u, s_ref.u, atol=1e-10)
+    np.testing.assert_allclose(s_sh.x, s_ref.x, atol=1e-10)
+    assert int(sum_sh.n_converged) == int(sum_ref.n_converged)
+    np.testing.assert_allclose(float(sum_sh.max_theta), float(sum_ref.max_theta),
+                               rtol=1e-9)
+
+
+def test_output_actually_sharded():
+    params, weights, cfg, states, x0s, x_ref = setup(batch=16)
+    mesh = mesh_lib.make_mesh()
+    states_sh = mesh_lib.shard_scenario_batch(states, mesh)
+    x0s_sh = jax.device_put(x0s, mesh_lib.scenario_sharding(mesh))
+    dist = sharded.make_sharded_solver(cfg, mesh=mesh, donate_state=False)
+    s_sh, _, _ = dist(params, weights, states_sh, x0s_sh, x_ref)
+    # the state trajectory output must be partitioned over all 8 devices
+    assert len(s_sh.u.sharding.device_set) == 8
+    shard_rows = {sh.index[0] for sh in s_sh.u.addressable_shards}
+    assert len(shard_rows) == 8  # 8 distinct batch slices
+
+
+def test_summary_aggregates():
+    params, weights, cfg, states, x0s, x_ref = setup(batch=8)
+    _, infos, summary = sharded.solve_batch(params, weights, cfg, states, x0s, x_ref)
+    assert int(summary.n_converged) == int(np.sum(np.asarray(infos.converged)))
+    np.testing.assert_allclose(
+        float(summary.max_defect), float(np.max(np.asarray(infos.max_defect)))
+    )
