@@ -1,23 +1,27 @@
 """SQP NMPC engine: linearize -> Riccati QP solve -> filter line search.
 
 TPU-native re-design of ``NMPCSolver`` (/root/reference/NMPC_solver.{h,cpp}):
-a pure-functional SQP iteration over a pytree state, written for ONE
-scenario and `vmap`ped over arbitrarily large scenario batches (the
-reference is strictly single-problem, single-threaded).
+a pure-functional SQP iteration over a pytree state. All functions are
+RANK-POLYMORPHIC: they accept a single scenario (``x [N+1,nx]``) or a
+leading scenario batch (``x [B,N+1,nx]``) — the batched path routes the QP
+solve through the SoA ("batch-in-lanes") Riccati kernel
+(ops.riccati_soa), which is the speed-of-light layout for 12x12 stage
+matrices on TPU, and runs the SQP/line-search loops with per-scenario
+masks (each scenario follows exactly the sequential reference semantics;
+the batch runs until its slowest member finishes, like vmap-of-while).
 
-Key semantic parity points (with knowing deviations flagged):
-
+Key semantic parity points (deviations flagged):
 - QP in delta form: the QP solves (dx, du) around the current trajectory
   with initial state ``x0 - x[0]`` (NMPC_solver.cpp:320).
 - Inequalities enter ONLY through the relaxed log-barrier's gradient and
   Hessian on the input cost (R_eff, r_eff — NMPC_solver.cpp:308-309); the
-  QP itself is equality-constrained, so one Riccati factorization solves it
-  exactly (hence the reference's `iter==0` unconstrained IPM path).
+  QP itself is equality-constrained, so one Riccati factorization solves
+  it exactly (the reference's iter==0 unconstrained HPIPM path).
 - Filter line search follows NMPC_solver.cpp:149-274 including the
   *persistent* step size: ``alpha`` is carried across SQP iterations and
   never reset (NMPC_solver.h:104) — reproduced when
   ``persistent_alpha=True`` (default, parity); ``False`` resets alpha to 1
-  each SQP iteration (usually converges in fewer iterations).
+  each SQP iteration.
 - Convergence test: ``dphi > -1e-3 and theta < 1e-6`` (NMPC_solver.cpp:267).
 """
 
@@ -32,6 +36,7 @@ from jax import lax
 
 from srbd_nmpc_tpu.models import srbd
 from srbd_nmpc_tpu.ocpqp.data import OcpQp
+from srbd_nmpc_tpu.ops import riccati_soa
 from srbd_nmpc_tpu.ops.barrier import relaxed_log_barrier
 from srbd_nmpc_tpu.ops.riccati import lqr_solve
 
@@ -97,11 +102,12 @@ class NmpcWeights:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class NmpcState:
-    """Per-scenario SQP iterate: trajectories + persistent step size."""
+    """Per-scenario SQP iterate: trajectories + persistent step size.
+    Leaves may carry a leading scenario-batch axis."""
 
-    x: jnp.ndarray      # [N+1, nx]
-    u: jnp.ndarray      # [N, nu]
-    alpha: jnp.ndarray  # []
+    x: jnp.ndarray      # [..., N+1, nx]
+    u: jnp.ndarray      # [..., N, nu]
+    alpha: jnp.ndarray  # [...]
 
     @staticmethod
     def initial(N: int, dtype=jnp.float32) -> "NmpcState":
@@ -116,57 +122,55 @@ class NmpcState:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class NmpcInfo:
-    """Diagnostics, superset of printOptimizationInfo's data
+    """Per-scenario diagnostics, superset of printOptimizationInfo's data
     (NMPC_solver.cpp:113-141)."""
 
-    converged: jnp.ndarray       # [] bool
-    sqp_iters: jnp.ndarray       # [] int32
-    theta: jnp.ndarray           # [] — equality-constraint merit
-    phi: jnp.ndarray             # [] — cost merit
-    dphi: jnp.ndarray            # [] — directional derivative
-    alpha: jnp.ndarray           # [] — final step size
-    max_defect: jnp.ndarray      # [] — max |dynamics defect|
-    min_constraint: jnp.ndarray  # [] — most-negative friction-cone value
+    converged: jnp.ndarray       # [...] bool
+    sqp_iters: jnp.ndarray       # [...] int32
+    theta: jnp.ndarray           # [...] — equality-constraint merit
+    phi: jnp.ndarray             # [...] — cost merit
+    dphi: jnp.ndarray            # [...] — directional derivative
+    alpha: jnp.ndarray           # [...] — final step size
+    max_defect: jnp.ndarray      # [...] — max |dynamics defect|
+    min_constraint: jnp.ndarray  # [...] — most-negative friction-cone value
 
 
 def merit(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
           x: jnp.ndarray, u: jnp.ndarray, x_ref: jnp.ndarray,
           with_grad: bool = False):
-    """Merit pair (theta, phi) and optionally their gradients.
+    """Merit pair (theta, phi) and optionally their gradients; per scenario.
 
     theta = 1/2 sum_k ||f_k||^2 (shooting defects); phi = tracking + barrier
     + input cost. Ref: linearSearch merit accumulation NMPC_solver.cpp:152-189.
-    Stage loop is vmapped; reductions are jnp.sum (become psum when sharded).
     """
     Ac, bc = srbd.constraint_matrix(params)
 
-    defects = jax.vmap(lambda xk, xk1, uk: srbd.shooting_defect(params, xk, xk1, uk))(
-        x[:-1], x[1:], u
-    )
-    theta = 0.5 * jnp.sum(defects * defects)
+    defects = srbd.shooting_defect(params, x[..., :-1, :], x[..., 1:, :], u)
+    theta = 0.5 * jnp.sum(defects * defects, axis=(-2, -1))
 
-    ex = x - x_ref                                   # [N+1, nx]
-    Qx = ex[:-1] @ weights.Q                         # rows k < N
-    phi_x = 0.5 * jnp.sum(ex[:-1] * Qx)
-    eN = ex[-1]
-    phi_N = 0.5 * eN @ weights.Qf @ eN
+    ex = x - x_ref                                     # [..., N+1, nx]
+    Qx = jnp.einsum("...ni,ij->...nj", ex[..., :-1, :], weights.Q)
+    phi_x = 0.5 * jnp.sum(ex[..., :-1, :] * Qx, axis=(-2, -1))
+    eN = ex[..., -1, :]
+    QfeN = jnp.einsum("...i,ij->...j", eN, weights.Qf)
+    phi_N = 0.5 * jnp.sum(eN * QfeN, axis=-1)
 
-    con = u @ Ac.T + bc                              # [N, 24]
+    con = jnp.einsum("...ni,gi->...ng", u, Ac) + bc    # [..., N, 24]
     b_bar, db_bar, _ = relaxed_log_barrier(con, cfg.mu_barrier, cfg.theta_barrier)
-    Ru = u @ weights.R
-    phi_u = jnp.sum(b_bar) + 0.5 * jnp.sum(u * Ru)
+    Ru = jnp.einsum("...ni,ij->...nj", u, weights.R)
+    phi_u = jnp.sum(b_bar, axis=(-2, -1)) + 0.5 * jnp.sum(u * Ru, axis=(-2, -1))
 
     phi = phi_x + phi_N + phi_u
     if not with_grad:
         return theta, phi, defects, con
-    Jphi_x = jnp.concatenate([Qx, (weights.Qf @ eN)[None]], axis=0)  # [N+1, nx]
-    Jphi_u = db_bar @ Ac + Ru                                        # [N, nu]
+    Jphi_x = jnp.concatenate([Qx, QfeN[..., None, :]], axis=-2)   # [..., N+1, nx]
+    Jphi_u = jnp.einsum("...ng,gi->...ni", db_bar, Ac) + Ru       # [..., N, nu]
     return theta, phi, defects, con, Jphi_x, Jphi_u
 
 
 def linearize(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
               state: NmpcState, x_ref: jnp.ndarray) -> OcpQp:
-    """Build the delta-form OCP-QP around the current trajectory.
+    """Build the delta-form OCP-QP around the current trajectory; batched.
 
     Ref: prepareQpStructures (NMPC_solver.cpp:276-314) — dynamics rows from
     the shooting linearization, barrier curvature folded into (R_eff, r_eff),
@@ -174,46 +178,74 @@ def linearize(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
     """
     dtype = state.x.dtype
     N = cfg.N
+    lead = state.x.shape[:-2]
 
-    A, B, b, _ = jax.vmap(
-        lambda xk, xk1, uk: srbd.linearize_shooting(params, xk, xk1, uk, cfg.sensitivity)
-    )(state.x[:-1], state.x[1:], state.u)
+    A, B, b, _ = srbd.linearize_shooting(
+        params, state.x[..., :-1, :], state.x[..., 1:, :], state.u, cfg.sensitivity
+    )
 
     Ac, bc = srbd.constraint_matrix(params)
-    con = state.u @ Ac.T + bc                           # [N, 24]
+    con = jnp.einsum("...ni,gi->...ng", state.u, Ac) + bc     # [..., N, 24]
     _, db, ddb = relaxed_log_barrier(con, cfg.mu_barrier, cfg.theta_barrier)
 
     # R_eff_k = R + Ac' diag(ddb_k) Ac ; r_eff_k = R u_k + Ac' db_k
-    R_eff = weights.R[None] + jnp.einsum("gi,ng,gj->nij", Ac, ddb, Ac)
-    r_eff = state.u @ weights.R + db @ Ac
+    R_eff = weights.R + jnp.einsum("gi,...ng,gj->...nij", Ac, ddb, Ac)
+    r_eff = jnp.einsum("...ni,ij->...nj", state.u, weights.R) + jnp.einsum(
+        "...ng,gi->...ni", db, Ac
+    )
 
     ex = state.x - x_ref
+    Q = jnp.broadcast_to(weights.Q, lead + (N, srbd.NX, srbd.NX))
     Q = jnp.concatenate(
-        [jnp.broadcast_to(weights.Q, (N, srbd.NX, srbd.NX)), weights.Qf[None]], axis=0
+        [Q, jnp.broadcast_to(weights.Qf, lead + (1, srbd.NX, srbd.NX))], axis=-3
     )
-    q = jnp.concatenate([ex[:-1] @ weights.Q, (weights.Qf @ ex[-1])[None]], axis=0)
+    q = jnp.concatenate(
+        [
+            jnp.einsum("...ni,ij->...nj", ex[..., :-1, :], weights.Q),
+            jnp.einsum("...i,ij->...j", ex[..., -1, :], weights.Qf)[..., None, :],
+        ],
+        axis=-2,
+    )
 
     return OcpQp(
         A=A, B=B, b=b,
         Q=Q, q=q,
-        S=jnp.zeros((N, srbd.NU, srbd.NX), dtype),
+        S=jnp.zeros(lead + (N, srbd.NU, srbd.NX), dtype),
         R=R_eff, r=r_eff,
     )
 
 
+def _solve_delta_qp(qp: OcpQp, dx0: jnp.ndarray, cfg: NmpcConfig):
+    """Dispatch the equality-constrained QP solve by rank: single scenario
+    uses the AoS scan kernel; a batched scenario axis uses the SoA
+    batch-in-lanes kernel (identical math, tested equal)."""
+    if qp.A.ndim == 3:  # [N, nx, nx] — single scenario
+        sol = lqr_solve(qp, dx0, reg=cfg.reg, refine=cfg.refine)
+        return sol.x, sol.u
+    assert qp.A.ndim == 4, "expected at most one leading scenario-batch axis"
+    t = lambda z: jnp.moveaxis(z, 0, -1)   # [B, N, ...] -> [N, ..., B]
+    x, u, _ = riccati_soa.lqr_solve(
+        t(qp.A), t(qp.B), t(qp.b), t(qp.Q), t(qp.S), t(qp.R), t(qp.q), t(qp.r),
+        jnp.moveaxis(dx0, 0, -1), reg=cfg.reg, refine=cfg.refine,
+    )
+    return jnp.moveaxis(x, -1, 0), jnp.moveaxis(u, -1, 0)
+
+
 def _line_search(params, weights, cfg, state: NmpcState, x_ref,
-                 dx, du, theta0, phi0, dphi):
-    """Backtracking filter line search, sequential like the reference
-    (NMPC_solver.cpp:200-264) but as a `lax.while_loop` so a vmapped batch
-    runs only as many merit evaluations as its slowest scenario needs."""
+                 dx, du, theta0, phi0, dphi, active0):
+    """Backtracking filter line search with per-scenario masking.
+
+    Per scenario this is exactly the reference's sequential loop
+    (NMPC_solver.cpp:200-264): evaluate at alpha; accept (alpha kept) or
+    halve. The batch iterates until every active scenario accepted or
+    bottomed out; already-converged scenarios (``~active0``) don't move.
+    """
     dtype = state.x.dtype
-    theta_max = jnp.asarray(cfg.theta_max, dtype)
-    theta_min = jnp.asarray(cfg.theta_min, dtype)
 
     def accept(theta_a, phi_a, alpha):
-        case_infeasible = theta_a > theta_max
+        case_infeasible = theta_a > cfg.theta_max
         acc_infeasible = theta_a < (1.0 - cfg.beta_theta) * theta0
-        case_small = (jnp.maximum(theta_a, theta0) < theta_min) & (dphi < 0.0)
+        case_small = (jnp.maximum(theta_a, theta0) < cfg.theta_min) & (dphi < 0.0)
         acc_small = phi_a < phi0 + cfg.eta * alpha * dphi
         acc_mixed = (phi_a < phi0 - cfg.beta_phi * theta0) | (
             theta_a < (1.0 - cfg.beta_theta) * theta0
@@ -222,56 +254,62 @@ def _line_search(params, weights, cfg, state: NmpcState, x_ref,
             case_infeasible, acc_infeasible, jnp.where(case_small, acc_small, acc_mixed)
         )
 
+    alpha0 = state.alpha if cfg.persistent_alpha else jnp.ones_like(state.alpha)
+
     def cond(carry):
         alpha, accepted, _, _ = carry
-        return (alpha > cfg.alpha_min) & jnp.logical_not(accepted)
+        searching = active0 & jnp.logical_not(accepted) & (alpha > cfg.alpha_min)
+        return jnp.any(searching)
 
     def body(carry):
-        alpha, _, _, _ = carry
-        x_a = state.x + alpha * dx
-        u_a = state.u + alpha * du
+        alpha, accepted, x_best, u_best = carry
+        a = alpha[..., None, None]
+        x_a = state.x + a * dx
+        u_a = state.u + a * du
         theta_a, phi_a, _, _ = merit(params, weights, cfg, x_a, u_a, x_ref)
-        ok = accept(theta_a, phi_a, alpha)
-        new_alpha = jnp.where(ok, alpha, cfg.beta_alpha * alpha)
-        return (new_alpha, ok, jnp.where(ok, alpha, jnp.nan), ok)
+        searching = active0 & jnp.logical_not(accepted) & (alpha > cfg.alpha_min)
+        ok = accept(theta_a, phi_a, alpha) & searching
+        okk = ok[..., None, None]
+        x_best = jnp.where(okk, x_a, x_best)
+        u_best = jnp.where(okk, u_a, u_best)
+        new_alpha = jnp.where(searching & jnp.logical_not(ok),
+                              cfg.beta_alpha * alpha, alpha)
+        return (new_alpha, accepted | ok, x_best, u_best)
 
-    alpha0 = state.alpha if cfg.persistent_alpha else jnp.asarray(1.0, dtype)
-    init = (alpha0, jnp.asarray(False), jnp.asarray(jnp.nan, dtype), jnp.asarray(False))
-    alpha_f, accepted, alpha_acc, _ = lax.while_loop(cond, body, init)
-
-    step = jnp.where(accepted, alpha_acc, 0.0)
-    x_new = state.x + step * dx
-    u_new = state.u + step * du
+    init = (alpha0, jnp.zeros_like(alpha0, dtype=bool), state.x, state.u)
+    alpha_f, accepted, x_new, u_new = lax.while_loop(cond, body, init)
     return NmpcState(x=x_new, u=u_new, alpha=alpha_f)
 
 
 def sqp_step(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
-             state: NmpcState, x0: jnp.ndarray, x_ref: jnp.ndarray
-             ) -> Tuple[NmpcState, NmpcInfo]:
+             state: NmpcState, x0: jnp.ndarray, x_ref: jnp.ndarray,
+             active=None) -> Tuple[NmpcState, NmpcInfo]:
     """One SQP iteration: linearize, QP-solve, line-search, convergence test.
 
     Ref: the body of the SQP loop (NMPC_solver.cpp:367-374) plus
-    checkConvergence/linearSearch (:143-274).
+    checkConvergence/linearSearch (:143-274). ``active`` masks scenarios
+    still iterating (None = all).
     """
     qp = linearize(params, weights, cfg, state, x_ref)
-    sol = lqr_solve(qp, x0 - state.x[0], reg=cfg.reg, refine=cfg.refine)
-    dx, du = sol.x, sol.u
+    dx, du = _solve_delta_qp(qp, x0 - state.x[..., 0, :], cfg)
 
     theta0, phi0, defects, con, Jphi_x, Jphi_u = merit(
         params, weights, cfg, state.x, state.u, x_ref, with_grad=True
     )
-    dphi = jnp.sum(dx * Jphi_x) + jnp.sum(du * Jphi_u)
+    dphi = jnp.sum(dx * Jphi_x, axis=(-2, -1)) + jnp.sum(du * Jphi_u, axis=(-2, -1))
 
+    if active is None:
+        active = jnp.ones(theta0.shape, dtype=bool)
     new_state = _line_search(
-        params, weights, cfg, state, x_ref, dx, du, theta0, phi0, dphi
+        params, weights, cfg, state, x_ref, dx, du, theta0, phi0, dphi, active
     )
     converged = (dphi > cfg.conv_dphi) & (theta0 < cfg.conv_theta)
     info = NmpcInfo(
         converged=converged,
-        sqp_iters=jnp.asarray(1, jnp.int32),
+        sqp_iters=jnp.ones(theta0.shape, jnp.int32),
         theta=theta0, phi=phi0, dphi=dphi, alpha=new_state.alpha,
-        max_defect=jnp.max(jnp.abs(defects)),
-        min_constraint=jnp.min(con),
+        max_defect=jnp.max(jnp.abs(defects), axis=(-2, -1)),
+        min_constraint=jnp.min(con, axis=(-2, -1)),
     )
     return new_state, info
 
@@ -282,32 +320,48 @@ def solve(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
     """Full NMPC solve: SQP iterations until convergence or sqp_max_iter.
 
     Ref: the per-repetition work of controlLoop (NMPC_solver.cpp:359-375).
-    Implemented as `lax.while_loop` so a converged scenario stops paying for
-    iterations (under vmap, the batch runs until its slowest member is done,
-    exactly like the reference's early `break`).
+    A `lax.while_loop` with per-scenario masks: each scenario freezes once
+    converged (the reference's early `break`); the batch stops when all
+    have (or sqp_max_iter is hit).
     """
+    zeros = jnp.zeros(state.alpha.shape, state.x.dtype)
 
     def cond(carry):
         _, info, it = carry
-        return (it < cfg.sqp_max_iter) & jnp.logical_not(info.converged)
+        return (it < cfg.sqp_max_iter) & jnp.any(jnp.logical_not(info.converged))
 
     def body(carry):
-        state, info, it = carry
-        new_state, step_info = sqp_step(params, weights, cfg, state, x0, x_ref)
-        new_info = dataclasses.replace(step_info, sqp_iters=it + 1)
-        return (new_state, new_info, it + 1)
+        st, info, it = carry
+        act = jnp.logical_not(info.converged)
+        new_state, step = sqp_step(params, weights, cfg, st, x0, x_ref, active=act)
+
+        def upd(new, old):
+            mask = act.reshape(act.shape + (1,) * (new.ndim - act.ndim))
+            return jnp.where(mask, new, old)
+
+        st2 = jax.tree.map(upd, new_state, st)
+        info2 = NmpcInfo(
+            converged=info.converged | (step.converged & act),
+            sqp_iters=info.sqp_iters + act.astype(jnp.int32),
+            theta=upd(step.theta, info.theta),
+            phi=upd(step.phi, info.phi),
+            dphi=upd(step.dphi, info.dphi),
+            alpha=upd(st2.alpha, info.alpha),
+            max_defect=upd(step.max_defect, info.max_defect),
+            min_constraint=upd(step.min_constraint, info.min_constraint),
+        )
+        return (st2, info2, it + 1)
 
     dummy = NmpcInfo(
-        converged=jnp.asarray(False),
-        sqp_iters=jnp.asarray(0, jnp.int32),
-        theta=jnp.asarray(jnp.inf, state.x.dtype),
-        phi=jnp.asarray(jnp.inf, state.x.dtype),
-        dphi=jnp.asarray(-jnp.inf, state.x.dtype),
+        converged=jnp.zeros(state.alpha.shape, bool),
+        sqp_iters=jnp.zeros(state.alpha.shape, jnp.int32),
+        theta=zeros + jnp.inf, phi=zeros + jnp.inf, dphi=zeros - jnp.inf,
         alpha=state.alpha,
-        max_defect=jnp.asarray(jnp.inf, state.x.dtype),
-        min_constraint=jnp.asarray(-jnp.inf, state.x.dtype),
+        max_defect=zeros + jnp.inf, min_constraint=zeros - jnp.inf,
     )
-    state_f, info_f, _ = lax.while_loop(cond, body, (state, dummy, jnp.asarray(0, jnp.int32)))
+    state_f, info_f, _ = lax.while_loop(
+        cond, body, (state, dummy, jnp.asarray(0, jnp.int32))
+    )
     return state_f, info_f
 
 

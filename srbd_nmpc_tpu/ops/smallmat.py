@@ -1,0 +1,152 @@
+"""Small-matrix kernels in SoA ("batch-in-lanes") layout.
+
+TPU-native replacement for what BLASFEO's panel-major small-matrix kernels
+do for the reference stack (SURVEY.md C7): the OCP stage matrices are tiny
+(12x12, 12x24 — SRBD_model.cpp:21-23), which maps catastrophically onto
+XLA's default layouts — a batched [B,12,12] dot_general pads each 12x12 to
+MXU tiles (~100x wasted bandwidth; measured ~2 ms for B=4096 where the
+roofline is ~10 us). These kernels instead store matrices as
+``[n, m, B]`` — batch in the trailing (lane) dimension — and expand the
+contraction as an unrolled k-loop of rank-1 outer products, so XLA emits
+~n fused [n,m,B] VPU ops: measured 0.037 ms for the same matmul (~50x).
+
+All functions take/return arrays with TRAILING batch axes (any number,
+usually one) and leading static matrix dims. The contraction loops are
+Python-unrolled over static dims (n <= ~32), keeping compile time modest.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """C[i,j,...] = sum_k a[i,k,...] b[k,j,...]  (SoA matmul)."""
+    n_k = a.shape[1]
+    acc = a[:, 0, None] * b[None, 0]
+    for k in range(1, n_k):
+        acc = acc + a[:, k, None] * b[None, k]
+    return acc
+
+
+def mtm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """C[i,j,...] = sum_k a[k,i,...] b[k,j,...]  (a' @ b)."""
+    n_k = a.shape[0]
+    acc = a[0, :, None] * b[None, 0]
+    for k in range(1, n_k):
+        acc = acc + a[k, :, None] * b[None, k]
+    return acc
+
+
+def mmt(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """C[i,j,...] = sum_k a[i,k,...] b[j,k,...]  (a @ b')."""
+    n_k = a.shape[1]
+    acc = a[:, 0, None] * b[None, :, 0]
+    for k in range(1, n_k):
+        acc = acc + a[:, k, None] * b[None, :, k]
+    return acc
+
+
+def mv(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """y[i,...] = sum_k a[i,k,...] v[k,...]."""
+    n_k = a.shape[1]
+    acc = a[:, 0] * v[None, 0]
+    for k in range(1, n_k):
+        acc = acc + a[:, k] * v[None, k]
+    return acc
+
+
+def mtv(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """y[i,...] = sum_k a[k,i,...] v[k,...]  (a' @ v)."""
+    n_k = a.shape[0]
+    acc = a[0, :] * v[None, 0]
+    for k in range(1, n_k):
+        acc = acc + a[k, :] * v[None, k]
+    return acc
+
+
+def transpose(a: jnp.ndarray) -> jnp.ndarray:
+    """Swap the two leading (matrix) axes."""
+    return jnp.swapaxes(a, 0, 1)
+
+
+def sym(a: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (a + transpose(a))
+
+
+def add_diag(a: jnp.ndarray, val) -> jnp.ndarray:
+    """a + val * I on the leading two axes."""
+    n = a.shape[0]
+    eye = jnp.eye(n, dtype=a.dtype).reshape((n, n) + (1,) * (a.ndim - 2))
+    return a + val * eye
+
+
+def cholesky(G: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Right-looking Cholesky of an SPD [n,n,...] SoA matrix.
+
+    Returns (L, dinv) where L is lower-triangular (zeros above) and
+    dinv[j,...] = 1/L[j,j,...] (precomputed with `rsqrt`, division-free —
+    divisions are several times costlier than multiplies on the VPU).
+    """
+    n = G.shape[0]
+    dtype = G.dtype
+    batch_shape = (1,) * (G.ndim - 2)
+    S = G
+    cols = []
+    dinvs = []
+    idx = jnp.arange(n)
+    for j in range(n):
+        dinv = jax.lax.rsqrt(S[j, j])
+        mask = (idx >= j).astype(dtype).reshape((n,) + batch_shape)
+        col = S[:, j] * dinv * mask          # [n, ...]; rows < j zeroed
+        cols.append(col)
+        dinvs.append(dinv)
+        if j + 1 < n:
+            S = S - col[:, None] * col[None, :]
+    L = jnp.stack(cols, axis=1)              # [n, n, ...]
+    dinv = jnp.stack(dinvs, axis=0)          # [n, ...]
+    return L, dinv
+
+
+def chol_solve(L: jnp.ndarray, dinv: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L') X = R for SoA rhs R [n, m, ...], given ``cholesky`` output."""
+    n = L.shape[0]
+    # forward substitution: L Y = R (right-looking row elimination)
+    Y = R
+    ys = []
+    for i in range(n):
+        yi = Y[i] * dinv[i]
+        ys.append(yi)
+        if i + 1 < n:
+            Y = Y - L[:, i, None] * yi[None]   # rows <= i get garbage, unused
+    Yv = jnp.stack(ys, axis=0)
+    # backward substitution: L' X = Y
+    xs = [None] * n
+    X = Yv
+    for i in reversed(range(n)):
+        xi = X[i] * dinv[i]
+        xs[i] = xi
+        if i > 0:
+            X = X - L[i, :, None] * xi[None]   # only rows < i matter
+    return jnp.stack(xs, axis=0)
+
+
+def chol_solve_vec(L: jnp.ndarray, dinv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L') x = r for a vector rhs r [n, ...]."""
+    return chol_solve(L, dinv, r[:, None])[:, 0]
+
+
+def to_soa(a: jnp.ndarray, batch_axes: int = 1) -> jnp.ndarray:
+    """Move ``batch_axes`` leading axes to the back: [B, n, m] -> [n, m, B]."""
+    perm = tuple(range(batch_axes, a.ndim)) + tuple(range(batch_axes))
+    return jnp.transpose(a, perm)
+
+
+def from_soa(a: jnp.ndarray, batch_axes: int = 1) -> jnp.ndarray:
+    """Inverse of ``to_soa``: [n, m, B] -> [B, n, m]."""
+    nb = a.ndim - batch_axes
+    perm = tuple(range(nb, a.ndim)) + tuple(range(nb))
+    return jnp.transpose(a, perm)

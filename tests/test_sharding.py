@@ -78,3 +78,18 @@ def test_summary_aggregates():
     np.testing.assert_allclose(
         float(summary.max_defect), float(np.max(np.asarray(infos.max_defect)))
     )
+
+
+def test_batched_engine_matches_vmap():
+    """The SoA batch-in-lanes fast path must agree with vmap of the
+    single-scenario engine (same math, different layout/kernels)."""
+    params, weights, cfg, states, x0s, x_ref = setup(batch=8)
+    batched_state, batched_info = engine.solve(params, weights, cfg, states, x0s, x_ref)
+    vmapped = jax.vmap(engine.solve, in_axes=(None, None, None, 0, 0, None))
+    v_state, v_info = vmapped(params, weights, cfg, states, x0s, x_ref)
+    np.testing.assert_allclose(batched_state.u, v_state.u, atol=1e-8)
+    np.testing.assert_allclose(batched_state.x, v_state.x, atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(batched_info.converged),
+                                  np.asarray(v_info.converged))
+    np.testing.assert_array_equal(np.asarray(batched_info.sqp_iters),
+                                  np.asarray(v_info.sqp_iters))
