@@ -290,6 +290,11 @@ def sqp_step(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
     checkConvergence/linearSearch (:143-274). ``active`` masks scenarios
     still iterating (None = all).
     """
+    with jax.default_matmul_precision("float32"):
+        return _sqp_step(params, weights, cfg, state, x0, x_ref, active)
+
+
+def _sqp_step(params, weights, cfg, state, x0, x_ref, active):
     qp = linearize(params, weights, cfg, state, x_ref)
     dx, du = _solve_delta_qp(qp, x0 - state.x[..., 0, :], cfg)
 
@@ -323,7 +328,16 @@ def solve(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
     A `lax.while_loop` with per-scenario masks: each scenario freezes once
     converged (the reference's early `break`); the batch stops when all
     have (or sqp_max_iter is hit).
+
+    The whole solve is pinned to exact-f32 matmul precision: TPU's default
+    bf16 multiply passes are too coarse for the theta < 1e-6 convergence
+    test (defects would carry ~1e-2-scale rounding).
     """
+    with jax.default_matmul_precision("float32"):
+        return _solve(params, weights, cfg, state, x0, x_ref)
+
+
+def _solve(params, weights, cfg, state, x0, x_ref):
     zeros = jnp.zeros(state.alpha.shape, state.x.dtype)
 
     def cond(carry):

@@ -196,6 +196,11 @@ def ipm_solve(
     and ``statistics.iter == 0`` — matching the reference's unconstrained
     contract (hpipm-cpp/test/ocp_qp_ipm_solver.cpp:56).
     """
+    with jax.default_matmul_precision("float32"):
+        return _ipm_solve(qp, x0, settings, warm_start)
+
+
+def _ipm_solve(qp, x0, settings, warm_start):
     dims = qp.dims
     dtype = qp.A.dtype
     iter_max = settings.iter_max
