@@ -34,9 +34,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from srbd_nmpc_tpu.models import srbd
+from srbd_nmpc_tpu.models import srbd, srbd_soa
 from srbd_nmpc_tpu.ocpqp.data import OcpQp
 from srbd_nmpc_tpu.ops import riccati_soa
+from srbd_nmpc_tpu.ops import smallmat as sm
 from srbd_nmpc_tpu.ops.barrier import relaxed_log_barrier
 from srbd_nmpc_tpu.ops.riccati import lqr_solve
 
@@ -142,10 +143,21 @@ def merit(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
 
     theta = 1/2 sum_k ||f_k||^2 (shooting defects); phi = tracking + barrier
     + input cost. Ref: linearSearch merit accumulation NMPC_solver.cpp:152-189.
+
+    The RK4 defect evaluation — the dominant FLOPs — goes through the SoA
+    dynamics kernels when a scenario batch is present (lane-starved
+    [B,N,3,3] tensors otherwise).
     """
     Ac, bc = srbd.constraint_matrix(params)
 
-    defects = srbd.shooting_defect(params, x[..., :-1, :], x[..., 1:, :], u)
+    if x.ndim == 3:  # batched: [B, N+1, nx] -> SoA [nx, B, N]
+        xs = jnp.moveaxis(x[:, :-1, :], -1, 0)
+        xn = jnp.moveaxis(x[:, 1:, :], -1, 0)
+        us = jnp.moveaxis(u, -1, 0)
+        d_soa = xn - srbd_soa.rk4(params, xs, us)        # [nx, B, N]
+        defects = jnp.moveaxis(d_soa, 0, -1)             # [B, N, nx]
+    else:
+        defects = srbd.shooting_defect(params, x[..., :-1, :], x[..., 1:, :], u)
     theta = 0.5 * jnp.sum(defects * defects, axis=(-2, -1))
 
     ex = x - x_ref                                     # [..., N+1, nx]
@@ -168,6 +180,69 @@ def merit(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
     return theta, phi, defects, con, Jphi_x, Jphi_u
 
 
+def _linearize_soa(params: srbd.SRBDParams, weights: NmpcWeights,
+                   cfg: NmpcConfig, state: NmpcState, x_ref: jnp.ndarray):
+    """Batched linearization directly in the Riccati kernel's SoA layout.
+
+    Input state [B, N+1, nx]; returns stage-stacked SoA arrays
+    (A,B,b [N,...,B], Q,q [N+1,...,B], S,R,r [N,...,B]) — same math as
+    ``linearize`` (prepareQpStructures, NMPC_solver.cpp:276-314) with zero
+    AoS<->SoA transposes of the big Jacobian tensors.
+    """
+    dtype = state.x.dtype
+    N = cfg.N
+    Bn = state.x.shape[0]
+
+    xs = jnp.moveaxis(state.x[:, :-1, :], -1, 0)     # [nx, B, N]
+    xn = jnp.moveaxis(state.x[:, 1:, :], -1, 0)
+    us = jnp.moveaxis(state.u, -1, 0)                # [nu, B, N]
+
+    if cfg.sensitivity == "euler":
+        A_s, B_s = srbd_soa.euler_AB(params, xs, us)     # [12,12,B,N]
+    else:
+        A_aos, B_aos, _, _ = srbd.linearize_shooting(
+            params, state.x[:, :-1, :], state.x[:, 1:, :], state.u,
+            cfg.sensitivity,
+        )
+        A_s = jnp.moveaxis(jnp.moveaxis(A_aos, 0, -1), 0, -1)  # [12,12,B,N]
+        B_s = jnp.moveaxis(jnp.moveaxis(B_aos, 0, -1), 0, -1)
+    # A/B/b to stage-major [N, ..., B]; b = -f with f = x_next - RK4(x, u)
+    A = jnp.moveaxis(A_s, -1, 0)
+    Bm = jnp.moveaxis(B_s, -1, 0)
+    b = jnp.moveaxis(srbd_soa.rk4(params, xs, us) - xn, -1, 0)
+
+    nb = (1, 1)
+    Ac, bc = srbd.constraint_matrix(params)
+    Ac_b = Ac.reshape(Ac.shape + nb)                  # [24,12,1,1]
+    con = sm.mv(Ac_b, us) + bc.reshape(bc.shape + nb)  # [24, B, N]
+    _, db, ddb = relaxed_log_barrier(con, cfg.mu_barrier, cfg.theta_barrier)
+
+    # R_eff = R + Ac' diag(ddb) Ac ; r_eff = R u + Ac' db
+    R_w = weights.R.reshape(weights.R.shape + nb)
+    R_eff = R_w + sm.mtm(Ac_b, Ac_b * ddb[:, None])   # [12,12,B,N]
+    r_eff = sm.mv(R_w, us) + sm.mtv(Ac_b, db)         # [12, B, N]
+    R_eff = jnp.moveaxis(R_eff, -1, 0)
+    r_eff = jnp.moveaxis(r_eff, -1, 0)
+
+    ex = jnp.moveaxis(state.x - x_ref, -1, 0)         # [nx, B, N+1]
+    Q_w = weights.Q.reshape(weights.Q.shape + nb)
+    Qf_w = weights.Qf.reshape(weights.Qf.shape + nb)
+    q_run = sm.mv(Q_w, ex[:, :, :-1])                 # [nx, B, N]
+    q_term = sm.mv(Qf_w, ex[:, :, -1:])               # [nx, B, 1]
+    q = jnp.moveaxis(jnp.concatenate([q_run, q_term], axis=-1), -1, 0)
+
+    Q = jnp.broadcast_to(
+        weights.Q.reshape((1,) + weights.Q.shape + (1,)), (N, srbd.NX, srbd.NX, Bn)
+    )
+    Q = jnp.concatenate(
+        [Q, jnp.broadcast_to(weights.Qf.reshape((1,) + weights.Qf.shape + (1,)),
+                             (1, srbd.NX, srbd.NX, Bn))],
+        axis=0,
+    )
+    S = jnp.zeros((N, srbd.NU, srbd.NX, Bn), dtype)
+    return A, Bm, b, Q, S, R_eff, q, r_eff
+
+
 def linearize(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
               state: NmpcState, x_ref: jnp.ndarray) -> OcpQp:
     """Build the delta-form OCP-QP around the current trajectory; batched.
@@ -176,6 +251,11 @@ def linearize(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
     the shooting linearization, barrier curvature folded into (R_eff, r_eff),
     no hard constraint rows.
     """
+    if state.x.ndim == 3:
+        A, B, b, Q, S, R, q, r = _linearize_soa(params, weights, cfg, state, x_ref)
+        f = lambda z: jnp.moveaxis(z, -1, 0)  # [N,...,B] -> [B,N,...]
+        return OcpQp(A=f(A), B=f(B), b=f(b), Q=f(Q), S=f(S), R=f(R),
+                     q=f(q), r=f(r))
     dtype = state.x.dtype
     N = cfg.N
     lead = state.x.shape[:-2]
@@ -213,22 +293,6 @@ def linearize(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
         S=jnp.zeros(lead + (N, srbd.NU, srbd.NX), dtype),
         R=R_eff, r=r_eff,
     )
-
-
-def _solve_delta_qp(qp: OcpQp, dx0: jnp.ndarray, cfg: NmpcConfig):
-    """Dispatch the equality-constrained QP solve by rank: single scenario
-    uses the AoS scan kernel; a batched scenario axis uses the SoA
-    batch-in-lanes kernel (identical math, tested equal)."""
-    if qp.A.ndim == 3:  # [N, nx, nx] — single scenario
-        sol = lqr_solve(qp, dx0, reg=cfg.reg, refine=cfg.refine)
-        return sol.x, sol.u
-    assert qp.A.ndim == 4, "expected at most one leading scenario-batch axis"
-    t = lambda z: jnp.moveaxis(z, 0, -1)   # [B, N, ...] -> [N, ..., B]
-    x, u, _ = riccati_soa.lqr_solve(
-        t(qp.A), t(qp.B), t(qp.b), t(qp.Q), t(qp.S), t(qp.R), t(qp.q), t(qp.r),
-        jnp.moveaxis(dx0, 0, -1), reg=cfg.reg, refine=cfg.refine,
-    )
-    return jnp.moveaxis(x, -1, 0), jnp.moveaxis(u, -1, 0)
 
 
 def _line_search(params, weights, cfg, state: NmpcState, x_ref,
@@ -295,8 +359,19 @@ def sqp_step(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
 
 
 def _sqp_step(params, weights, cfg, state, x0, x_ref, active):
-    qp = linearize(params, weights, cfg, state, x_ref)
-    dx, du = _solve_delta_qp(qp, x0 - state.x[..., 0, :], cfg)
+    dx0 = x0 - state.x[..., 0, :]
+    if state.x.ndim == 3:
+        # batched: stay in SoA from linearization through the Riccati solve
+        A, B, b, Q, S, R, q, r = _linearize_soa(params, weights, cfg, state, x_ref)
+        x_s, u_s, _ = riccati_soa.lqr_solve(
+            A, B, b, Q, S, R, q, r, jnp.moveaxis(dx0, 0, -1),
+            reg=cfg.reg, refine=cfg.refine,
+        )
+        dx, du = jnp.moveaxis(x_s, -1, 0), jnp.moveaxis(u_s, -1, 0)
+    else:
+        qp = linearize(params, weights, cfg, state, x_ref)
+        sol = lqr_solve(qp, dx0, reg=cfg.reg, refine=cfg.refine)
+        dx, du = sol.x, sol.u
 
     theta0, phi0, defects, con, Jphi_x, Jphi_u = merit(
         params, weights, cfg, state.x, state.u, x_ref, with_grad=True
