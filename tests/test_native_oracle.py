@@ -1,0 +1,125 @@
+"""Parity vs the native C++ oracle (native/srbd_oracle.cpp).
+
+The reference binary can't be built in this environment (system HPIPM/
+BLASFEO/Eigen absent), so the <1e-4 control-parity bar (BASELINE.md) is
+established against an INDEPENDENT double-precision C++ implementation of
+the same algorithm (plain arrays, own Cholesky — no shared code with the
+JAX engine). Built with CMake on first use; skipped if no toolchain.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE = os.path.join(REPO, "native")
+LIB = os.path.join(NATIVE, "build", "libsrbd_oracle.so")
+
+
+def build_lib():
+    if os.path.exists(LIB):
+        return True
+    try:
+        subprocess.run(["cmake", "-S", NATIVE, "-B", os.path.join(NATIVE, "build")],
+                       check=True, capture_output=True, timeout=120)
+        subprocess.run(["cmake", "--build", os.path.join(NATIVE, "build")],
+                       check=True, capture_output=True, timeout=300)
+    except Exception:
+        return False
+    return os.path.exists(LIB)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    if not build_lib():
+        pytest.skip("native toolchain unavailable")
+    lib = ctypes.CDLL(LIB)
+    lib.srbd_nmpc_solve.restype = ctypes.c_int
+    lib.srbd_nmpc_solve.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+
+    def solve(N=20, sqp_max_iter=15):
+        params = np.array([15.0, 0.015, 0.541667, 0.516667, 1.0416667,
+                           0.0, -0.1, 0.0, 0.0, 0.1, 0.0, 0.1, 5.0])
+        weights = np.concatenate([
+            np.array([0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 10.0]),
+            np.array([0.0001]),
+            np.array([0.5, 0.5, 0.5, 0.01, 0.01, 0.01, 100, 100, 100, 0, 0, 100.0]),
+        ])
+        x0 = np.zeros(12); x0[8] = 1.0
+        x_ref = np.zeros(12); x_ref[2] = 0.2; x_ref[6] = 0.5; x_ref[8] = 1.0
+        x_out = np.zeros((N + 1) * 12)
+        u_out = np.zeros(N * 12)
+        info = np.zeros(5)
+        p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        ret = lib.srbd_nmpc_solve(p(params), p(weights), N, sqp_max_iter,
+                                  p(x0), p(x_ref), p(x_out), p(u_out), p(info))
+        return ret, x_out.reshape(N + 1, 12), u_out.reshape(N, 12), info
+
+    return solve
+
+
+def test_oracle_converges(oracle):
+    ret, x, u, info = oracle()
+    assert ret == 1, info
+    assert info[1] < 1e-6      # theta
+    assert info[3] > -1e-3     # dphi
+
+
+def test_jax_engine_matches_native_oracle(oracle):
+    """f64 JAX engine (euler sensitivities + persistent alpha — the exact
+    reference algorithm) vs the independent C++ oracle: control error must
+    be far below the 1e-4 parity bar relative to the ~100 N force scale."""
+    from srbd_nmpc_tpu.models import srbd
+    from srbd_nmpc_tpu.nmpc import engine
+
+    ret, x_c, u_c, info = oracle()
+    assert ret == 1
+
+    cfg = engine.NmpcConfig(N=20, sqp_max_iter=15)
+    params = srbd.SRBDParams.create(dt=0.015, dtype=jnp.float64)
+    weights = engine.NmpcWeights.create(
+        [0] * 11 + [10], 1e-4,
+        [0.5, 0.5, 0.5, 0.01, 0.01, 0.01, 100, 100, 100, 0, 0, 100],
+        N=20, dtype=jnp.float64)
+    x0, x_ref = engine.make_benchmark_problem(cfg, jnp.float64)
+    state = engine.NmpcState.initial(cfg.N, jnp.float64)
+    state_f, inf = engine.solve(params, weights, cfg, state, x0, x_ref)
+    assert bool(inf.converged)
+
+    err_u = np.max(np.abs(np.asarray(state_f.u) - u_c))
+    err_x = np.max(np.abs(np.asarray(state_f.x) - x_c))
+    assert err_u / 100.0 < 1e-4, err_u   # BASELINE parity bar (force scale)
+    assert err_x < 1e-4, err_x
+
+
+def test_f32_tpu_path_matches_native_oracle(oracle):
+    """The f32 production configuration (refine=1) against the f64 C++
+    oracle — the cross-precision, cross-implementation parity check."""
+    from srbd_nmpc_tpu.models import srbd
+    from srbd_nmpc_tpu.nmpc import engine
+
+    ret, x_c, u_c, info = oracle()
+    assert ret == 1
+
+    cfg = engine.NmpcConfig(N=20, sqp_max_iter=15, refine=1)
+    params = srbd.SRBDParams.create(dt=0.015, dtype=jnp.float32)
+    weights = engine.NmpcWeights.create(
+        [0] * 11 + [10], 1e-4,
+        [0.5, 0.5, 0.5, 0.01, 0.01, 0.01, 100, 100, 100, 0, 0, 100],
+        N=20, dtype=jnp.float32)
+    x0, x_ref = engine.make_benchmark_problem(cfg, jnp.float32)
+    state = engine.NmpcState.initial(cfg.N, jnp.float32)
+    state_f, inf = engine.solve(params, weights, cfg, state, x0, x_ref)
+
+    err_u = np.max(np.abs(np.asarray(state_f.u, np.float64) - u_c))
+    assert err_u / 100.0 < 1e-3, err_u
