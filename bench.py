@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    batch = int(os.environ.get("BENCH_BATCH", "4096"))
     reps = int(os.environ.get("BENCH_REPS", "20"))
     refine = int(os.environ.get("BENCH_REFINE", "1"))
 

@@ -79,6 +79,16 @@ class IpmSettings:
     ric_alg: bool = True
     split_step: bool = False
 
+    @staticmethod
+    def preset(mode: IpmMode, **overrides) -> "IpmSettings":
+        """Mode preset + explicit overrides — the semantics of HPIPM's
+        ``d_ocp_qp_ipm_arg_set_default(mode)`` followed by individual
+        setters (ocp_qp_ipm_solver.cpp:102-116)."""
+        base = dict(_MODE_DEFAULTS[mode])
+        base["mode"] = mode
+        base.update(overrides)
+        return IpmSettings(**base)
+
     def check(self) -> None:
         """Validate. Ref: ``checkSettings`` (src/ocp_qp_ipm_solver_settings.cpp:7-38)."""
         if self.iter_max < 0:

@@ -43,3 +43,20 @@ def test_wrong_length_rejected(tmp_path):
                                         "Q: [0,0,0]"))
     with pytest.raises(ValueError, match="12 entries"):
         load_mpc_options(str(p))
+
+
+def test_ipm_settings_presets_and_validation():
+    from srbd_nmpc_tpu.ocpqp.settings import IpmMode, IpmSettings
+
+    s = IpmSettings.preset(IpmMode.BALANCE, iter_max=40)
+    assert s.mode == IpmMode.BALANCE and s.iter_max == 40
+    assert s.tol_stat == 1e-8
+    s.check()
+
+    import pytest
+    with pytest.raises(ValueError, match="alpha_min"):
+        IpmSettings(alpha_min=2.0).check()
+    with pytest.raises(ValueError, match="mu0"):
+        IpmSettings(mu0=-1.0).check()
+    with pytest.raises(ValueError, match="iter_max"):
+        IpmSettings(iter_max=-1).check()
