@@ -454,6 +454,25 @@ def _solve(params, weights, cfg, state, x0, x_ref):
     return state_f, info_f
 
 
+def shift_state(state: NmpcState, steps: int = 1) -> NmpcState:
+    """Receding-horizon warm start: shift trajectories ``steps`` stages
+    forward, repeating the terminal entries.
+
+    The reference warm-starts only implicitly (x_nmpc_/u_nmpc_ persist
+    across controlLoop repetitions, NMPC_solver.h:70-71); for real
+    receding-horizon use the shifted previous solution is the standard
+    initializer — it keeps theta tiny so the SQP typically converges in
+    1-2 iterations per cycle.
+    """
+    x = jnp.concatenate(
+        [state.x[..., steps:, :],
+         jnp.repeat(state.x[..., -1:, :], steps, axis=-2)], axis=-2)
+    u = jnp.concatenate(
+        [state.u[..., steps:, :],
+         jnp.repeat(state.u[..., -1:, :], steps, axis=-2)], axis=-2)
+    return NmpcState(x=x, u=u, alpha=jnp.ones_like(state.alpha))
+
+
 def make_benchmark_problem(cfg: NmpcConfig, dtype=jnp.float32):
     """The reference benchmark scenario: stance with a yaw/forward/height
     reference step. Ref: setupDynamics/setupReference (NMPC_solver.cpp:332-351)."""

@@ -50,6 +50,7 @@ from srbd_nmpc_tpu.ops.riccati import (
     kkt_residuals,
     lqr_solve,
     riccati_factorize,
+    riccati_factorize_sqrt,
     riccati_solve_vectors,
 )
 
@@ -201,12 +202,13 @@ def ipm_solve(
 
 
 def _ipm_solve(qp, x0, settings, warm_start):
+    factorize = riccati_factorize_sqrt if settings.ric_alg else riccati_factorize
     dims = qp.dims
     dtype = qp.A.dtype
     iter_max = settings.iter_max
 
     if not dims.has_constraints:
-        sol = lqr_solve(qp, x0, reg=settings.reg_prim)
+        sol = lqr_solve(qp, x0, reg=settings.reg_prim, sqrt=settings.ric_alg)
         r_dyn, r_sx, r_su = kkt_residuals(qp, sol.x, sol.u, sol.pi)
         res_stat = jnp.maximum(jnp.max(jnp.abs(r_sx)), jnp.max(jnp.abs(r_su)))
         zeros = jnp.zeros((iter_max + 1,), dtype)
@@ -315,8 +317,8 @@ def _ipm_solve(qp, x0, settings, warm_start):
         Gu_w = con.Gu[:-1]
         R_aug = qp.R + jnp.einsum("nmi,nm,nmj->nij", Gu_w, W[:-1], Gu_w)
         S_aug = qp.S + jnp.einsum("nmi,nm,nmj->nij", Gu_w, W[:-1], con.Gx[:-1])
-        fac = riccati_factorize(qp.A, qp.B, Q_aug, S_aug, R_aug,
-                                reg=settings.reg_prim)
+        fac = factorize(qp.A, qp.B, Q_aug, S_aug, R_aug,
+                        reg=settings.reg_prim)
 
         # predictor (affine): complementarity rhs = lam*s (sigma = 0)
         rc_l_aff = it.ll * it.sl * con.mask_l
@@ -372,8 +374,6 @@ def _ipm_solve(qp, x0, settings, warm_start):
     stat_cols = ("alpha_aff", "mu_aff", "sigma", "alpha_prim", "alpha_dual",
                  "mu", "res_stat", "res_eq", "res_ineq", "res_comp", "obj")
     zeros_hist = {c: jnp.zeros((iter_max + 1,), dtype) for c in stat_cols}
-
-    fac0 = riccati_factorize(qp.A, qp.B, qp.Q, qp.S, qp.R, settings.reg_prim)
 
     def record(hist, i, it: _Iterate, extra):
         _, (rs, re, ri, rc) = residual_norms(it)
@@ -432,7 +432,7 @@ def _ipm_solve(qp, x0, settings, warm_start):
     lam = it_f.lu * con.mask_u - it_f.ll * con.mask_l
     q_aug = qp.q + jnp.einsum("nmj,nm->nj", con.Gx, lam)
     r_aug = qp.r + jnp.einsum("nmj,nm->nj", con.Gu, lam)[:-1]
-    fac_f = riccati_factorize(qp.A, qp.B, Q_aug, S_aug, R_aug, settings.reg_prim)
+    fac_f = factorize(qp.A, qp.B, Q_aug, S_aug, R_aug, settings.reg_prim)
     _, _, _, p_f, k_f = riccati_solve_vectors(
         fac_f, qp.A, qp.B, qp.b, q_aug, r_aug, x0
     )

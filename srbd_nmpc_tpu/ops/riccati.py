@@ -126,6 +126,74 @@ def riccati_solve_vectors(
     return x, u, pi, p, k
 
 
+def riccati_factorize_sqrt(
+    A: jnp.ndarray, B: jnp.ndarray, Q: jnp.ndarray, S: jnp.ndarray,
+    R: jnp.ndarray, reg: float = 0.0,
+) -> RiccatiFactors:
+    """Square-root (array) Riccati factorization — HPIPM's ``ric_alg=1``
+    (ocp_qp_ipm_solver_settings.hpp:79-81).
+
+    Instead of forming P = F - H'G^-1 H (which can lose positive
+    definiteness to cancellation in low precision), propagate a Cholesky
+    factor of P through one QR triangularization per stage:
+
+        pre-array M = [ Lr'        Lr^-1 S ]      R = Lr Lr'
+                      [ Lp' B      Lp' A   ]      P_next = Lp Lp'
+                      [ 0          Lq'     ]      Q - S'R^-1 S = Lq Lq'
+
+        M = Z T (QR)  =>  T'T = [[G, H], [H', F]],  and
+        T11 = chol(G)', K = -T11^-1 T12, P = T22' T22 exactly.
+
+    Returns the same ``RiccatiFactors`` surface as the classical
+    ``riccati_factorize`` (identical downstream vector recursion). Uses
+    XLA's batched QR — preferred for f64/CPU accuracy studies; the TPU SoA
+    fast path keeps the classical recursion + iterative refinement.
+    """
+    nx, nu = A.shape[-1], B.shape[-1]
+    dtype = A.dtype
+    reg_eye_u = jnp.asarray(reg, dtype) * jnp.eye(nu, dtype=dtype)
+    reg_eye_x = jnp.asarray(reg, dtype) * jnp.eye(nx, dtype=dtype)
+
+    def step(Lp_next, stage):
+        A_i, B_i, Q_i, S_i, R_i = stage
+        Lr = jnp.linalg.cholesky(R_i + reg_eye_u)
+        Sw = jax.scipy.linalg.solve_triangular(Lr, S_i, lower=True)
+        Qbar = Q_i - Sw.T @ Sw
+        Qbar = 0.5 * (Qbar + Qbar.T) + reg_eye_x
+        Lq = jnp.linalg.cholesky(Qbar)
+        LptB = Lp_next.T @ B_i
+        LptA = Lp_next.T @ A_i
+        M = jnp.block([
+            [Lr.T, Sw],
+            [LptB, LptA],
+            [jnp.zeros((nx, nu), dtype), Lq.T],
+        ])
+        T = jnp.linalg.qr(M, mode="r")
+        T11 = T[:nu, :nu]
+        T12 = T[:nu, nu:]
+        T22 = T[nu:, nu:]
+        # orient signs so diag(T11) > 0 -> T11' is a valid lower Cholesky
+        sgn = jnp.sign(jnp.diagonal(T11))
+        sgn = jnp.where(sgn == 0, 1.0, sgn)
+        T11 = sgn[:, None] * T11
+        T12 = sgn[:, None] * T12
+        K = -jax.scipy.linalg.solve_triangular(T11, T12, lower=False)
+        P = T22.T @ T22
+        P = 0.5 * (P + P.T)
+        L_G = T11.T
+        H = T11.T @ T12
+        Lp = jnp.linalg.cholesky(P + reg_eye_x)
+        return Lp, (P, K, L_G, H)
+
+    Q_N = 0.5 * (Q[-1] + Q[-1].T)
+    Lp_N = jnp.linalg.cholesky(Q_N + reg_eye_x)
+    _, (P_rest, K, L, H) = lax.scan(
+        step, Lp_N, (A, B, Q[:-1], S, R), reverse=True
+    )
+    P = jnp.concatenate([P_rest, Q_N[None]], axis=0)
+    return RiccatiFactors(P=P, K=K, L=L, H=H)
+
+
 def lqr_backward(
     qp: OcpQp, reg: float = 0.0
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -194,7 +262,8 @@ def kkt_residuals(
 
 
 def lqr_solve(
-    qp: OcpQp, x0: jnp.ndarray, reg: float = 0.0, refine: int = 0
+    qp: OcpQp, x0: jnp.ndarray, reg: float = 0.0, refine: int = 0,
+    sqrt: bool = False,
 ) -> OcpQpSolution:
     """Solve an equality-constrained OCP-QP exactly (one factorize + solve).
 
@@ -202,9 +271,11 @@ def lqr_solve(
     current residuals as right-hand side (reusing the factorization) and
     add the correction — standard iterative refinement that recovers
     ~f64-grade accuracy from f32 factorizations. ``refine=0`` matches the
-    reference single-solve semantics.
+    reference single-solve semantics. ``sqrt`` selects the square-root
+    (array) factorization — HPIPM's ``ric_alg``.
     """
-    fac = riccati_factorize(qp.A, qp.B, qp.Q, qp.S, qp.R, reg)
+    factorize = riccati_factorize_sqrt if sqrt else riccati_factorize
+    fac = factorize(qp.A, qp.B, qp.Q, qp.S, qp.R, reg)
     x, u, pi, p, k = riccati_solve_vectors(fac, qp.A, qp.B, qp.b, qp.q, qp.r, x0)
 
     for _ in range(refine):

@@ -136,3 +136,43 @@ class TestLqrVsOracle:
         sol0 = lqr_solve(qp, x0)
         sol = lqr_solve(qp, x0, reg=1e-9)
         np.testing.assert_allclose(sol.u, sol0.u, atol=1e-6)
+
+
+class TestSqrtRiccati:
+    def test_sqrt_matches_classical(self):
+        from srbd_nmpc_tpu.ops.riccati import riccati_factorize, riccati_factorize_sqrt
+
+        qp = random_qp(N=15, seed=77)
+        fc = riccati_factorize(qp.A, qp.B, qp.Q, qp.S, qp.R)
+        fs = riccati_factorize_sqrt(qp.A, qp.B, qp.Q, qp.S, qp.R)
+        np.testing.assert_allclose(fs.P, fc.P, atol=1e-8)
+        np.testing.assert_allclose(fs.K, fc.K, atol=1e-8)
+        np.testing.assert_allclose(fs.H, fc.H, atol=1e-8)
+        # L must be a valid lower-Cholesky factor of G
+        np.testing.assert_allclose(
+            fs.L @ np.swapaxes(np.asarray(fs.L), -1, -2),
+            fc.L @ np.swapaxes(np.asarray(fc.L), -1, -2), atol=1e-8)
+
+    def test_sqrt_full_solve(self):
+        qp = random_qp(N=15, seed=78)
+        x0 = jnp.asarray(np.random.default_rng(8).uniform(-1, 1, size=5))
+        s1 = lqr_solve(qp, x0)
+        s2 = lqr_solve(qp, x0, sqrt=True)
+        np.testing.assert_allclose(s2.u, s1.u, atol=1e-9)
+        np.testing.assert_allclose(s2.x, s1.x, atol=1e-9)
+        np.testing.assert_allclose(s2.pi, s1.pi, atol=1e-8)
+
+    def test_sqrt_keeps_P_psd_in_f32(self):
+        """The point of ric_alg: P stays PSD under f32 on an ill-scaled
+        problem (classical form can go slightly indefinite)."""
+        qp = random_qp(N=20, seed=79)
+        # scaling R down requires scaling S away too or the stage Hessian
+        # [[R, S], [S', Q]] goes indefinite (invalid QP)
+        qp = type(qp)(A=qp.A, B=qp.B, b=qp.b,
+                      Q=qp.Q.at[-1].multiply(1e4), S=qp.S * 0.0, R=qp.R * 1e-4,
+                      q=qp.q, r=qp.r)
+        qp32 = jax.tree.map(lambda a: a.astype(jnp.float32), qp)
+        from srbd_nmpc_tpu.ops.riccati import riccati_factorize_sqrt
+        fs = riccati_factorize_sqrt(qp32.A, qp32.B, qp32.Q, qp32.S, qp32.R)
+        eigs = np.linalg.eigvalsh(np.asarray(fs.P, np.float64))
+        assert eigs.min() > -1e-3, eigs.min()
