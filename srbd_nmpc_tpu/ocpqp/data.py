@@ -54,6 +54,7 @@ class OcpQpDims:
     nbx: int = _field(metadata=dict(static=True), default=0)
     nbu: int = _field(metadata=dict(static=True), default=0)
     ng: int = _field(metadata=dict(static=True), default=0)
+    ns: int = _field(metadata=dict(static=True), default=0)
 
     @property
     def n_ineq_per_stage(self) -> int:
@@ -110,13 +111,28 @@ class OcpQp:
     lg_mask: Optional[jnp.ndarray] = None
     ug_mask: Optional[jnp.ndarray] = None
 
+    # Soft constraints (ocp_qp.hpp:144-176): constraints listed in ``idxs``
+    # are relaxed by slack variables s_l, s_u >= lls/lus with penalty
+    # 1/2 s_l' Zl s_l + zl' s_l + 1/2 s_u' Zu s_u + zu' s_u.
+    # ``idxs`` indexes into this package's stacked per-stage constraint
+    # ordering [box-x rows, box-u rows, general rows] (HPIPM's own order is
+    # box-u-first; translate indices when porting problems).
+    idxs: Tuple[int, ...] = _field(metadata=dict(static=True), default=())
+    Zl: Optional[jnp.ndarray] = None   # [N+1, ns]
+    Zu: Optional[jnp.ndarray] = None
+    zl: Optional[jnp.ndarray] = None
+    zu: Optional[jnp.ndarray] = None
+    lls: Optional[jnp.ndarray] = None
+    lus: Optional[jnp.ndarray] = None
+
     @property
     def dims(self) -> OcpQpDims:
         N, nx, nu = self.A.shape[-3], self.A.shape[-1], self.B.shape[-1]
         nbx = len(self.idxbx)
         nbu = len(self.idxbu)
         ng = 0 if self.C is None else self.C.shape[-2]
-        return OcpQpDims(N=N, nx=nx, nu=nu, nbx=nbx, nbu=nbu, ng=ng)
+        return OcpQpDims(N=N, nx=nx, nu=nu, nbx=nbx, nbu=nbu, ng=ng,
+                         ns=len(self.idxs))
 
     def check(self) -> None:
         """Shape validation mirroring ``OcpQpDim::checkSize``
@@ -162,6 +178,20 @@ class OcpQp:
             want("ug", self.ug, (N + 1, ng))
             want("lg_mask", self.lg_mask, (N + 1, ng))
             want("ug_mask", self.ug_mask, (N + 1, ng))
+        ns = d.ns
+        if ns:
+            m = nbx + nbu + ng
+            if not all(0 <= i < m for i in self.idxs):
+                raise ValueError(
+                    "OcpQp.idxs entries must index the stacked "
+                    "[box-x, box-u, general] rows"
+                )
+            want("Zl", self.Zl, (N + 1, ns))
+            want("Zu", self.Zu, (N + 1, ns))
+            want("zl", self.zl, (N + 1, ns))
+            want("zu", self.zu, (N + 1, ns))
+            want("lls", self.lls, (N + 1, ns))
+            want("lus", self.lus, (N + 1, ns))
 
 
 def unconstrained_qp(A, B, b, Q, S, R, q, r) -> OcpQp:

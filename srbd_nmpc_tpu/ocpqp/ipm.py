@@ -71,6 +71,17 @@ class _ConstraintSystem(NamedTuple):
     ub: jnp.ndarray
     mask_l: jnp.ndarray
     mask_u: jnp.ndarray
+    # Soft-constraint row data, scattered from OcpQp.idxs over the stacked
+    # rows (zeros on hard rows): soft_{l,u} in {0,1}; Z/z penalty
+    # coefficients; ls slack lower bounds (ocp_qp.hpp:144-176).
+    soft_l: jnp.ndarray
+    soft_u: jnp.ndarray
+    Zl: jnp.ndarray
+    Zu: jnp.ndarray
+    zl: jnp.ndarray
+    zu: jnp.ndarray
+    lls: jnp.ndarray
+    lus: jnp.ndarray
 
 
 def _build_constraints(qp: OcpQp, dims: OcpQpDims, x0: jnp.ndarray) -> _ConstraintSystem:
@@ -139,18 +150,51 @@ def _build_constraints(qp: OcpQp, dims: OcpQpDims, x0: jnp.ndarray) -> _Constrai
         mask_l = mask_l.at[:, o:o + ng].set(ml)
         mask_u = mask_u.at[:, o:o + ng].set(mu_)
 
+    soft_l = jnp.zeros((N + 1, m), dtype)
+    soft_u = jnp.zeros((N + 1, m), dtype)
+    Zl_r = jnp.zeros((N + 1, m), dtype)
+    Zu_r = jnp.zeros((N + 1, m), dtype)
+    zl_r = jnp.zeros((N + 1, m), dtype)
+    zu_r = jnp.zeros((N + 1, m), dtype)
+    lls_r = jnp.zeros((N + 1, m), dtype)
+    lus_r = jnp.zeros((N + 1, m), dtype)
+    if dims.ns:
+        idxs = jnp.asarray(qp.idxs)
+        ones = jnp.ones((N + 1, dims.ns), dtype)
+        soft_l = soft_l.at[:, idxs].set(ones)
+        soft_u = soft_u.at[:, idxs].set(ones)
+        Zl_r = Zl_r.at[:, idxs].set(qp.Zl)
+        Zu_r = Zu_r.at[:, idxs].set(qp.Zu)
+        zl_r = zl_r.at[:, idxs].set(qp.zl)
+        zu_r = zu_r.at[:, idxs].set(qp.zu)
+        lls_r = lls_r.at[:, idxs].set(qp.lls)
+        lus_r = lus_r.at[:, idxs].set(qp.lus)
+        # a soft side only exists where the bound itself is active
+        soft_l = soft_l * mask_l
+        soft_u = soft_u * mask_u
+
     return _ConstraintSystem(Gx=Gx, Gu=Gu, lb=lb, ub=ub,
-                             mask_l=mask_l, mask_u=mask_u)
+                             mask_l=mask_l, mask_u=mask_u,
+                             soft_l=soft_l, soft_u=soft_u,
+                             Zl=Zl_r, Zu=Zu_r, zl=zl_r, zu=zu_r,
+                             lls=lls_r, lus=lus_r)
 
 
 class _Iterate(NamedTuple):
     x: jnp.ndarray       # [N+1, nx]
     u: jnp.ndarray       # [N, nu]
     pi: jnp.ndarray      # [N+1, nx]
-    sl: jnp.ndarray      # [N+1, m] lower slacks (v - lb)
-    su: jnp.ndarray      # [N+1, m] upper slacks (ub - v)
+    sl: jnp.ndarray      # [N+1, m] lower slacks (v - lb [+ soft s])
+    su: jnp.ndarray      # [N+1, m] upper slacks (ub - v [+ soft s])
     ll: jnp.ndarray      # [N+1, m] lower duals
     lu: jnp.ndarray      # [N+1, m] upper duals
+    # soft-constraint variables (inert zeros/ones on hard rows):
+    s_l: jnp.ndarray     # [N+1, m] soft slack values (lower side)
+    s_u: jnp.ndarray     # [N+1, m] soft slack values (upper side)
+    tb_l: jnp.ndarray    # [N+1, m] IPM slack of s_l >= lls
+    tb_u: jnp.ndarray    # [N+1, m] IPM slack of s_u >= lus
+    mu_l: jnp.ndarray    # [N+1, m] dual of s_l >= lls
+    mu_u: jnp.ndarray    # [N+1, m] dual of s_u >= lus
 
 
 def _cvals(con: _ConstraintSystem, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
@@ -229,8 +273,8 @@ def _ipm_solve(qp, x0, settings, warm_start):
         return sol, stats
 
     con = _build_constraints(qp, dims, x0)
-    mask_any = jnp.maximum(con.mask_l, con.mask_u)
-    n_act = jnp.sum(con.mask_l) + jnp.sum(con.mask_u)
+    n_act = (jnp.sum(con.mask_l) + jnp.sum(con.mask_u)
+             + jnp.sum(con.soft_l) + jnp.sum(con.soft_u))
     n_act = jnp.maximum(n_act, 1.0)
 
     # --- initialization -----------------------------------------------------
@@ -241,30 +285,55 @@ def _ipm_solve(qp, x0, settings, warm_start):
     x_init = _rollout(qp, x0, u_init)
     v0 = _cvals(con, x_init, u_init)
     s_floor = jnp.asarray(jnp.sqrt(settings.mu0), dtype)
-    sl0 = jnp.where(con.mask_l > 0, jnp.maximum(v0 - con.lb, s_floor), 1.0)
-    su0 = jnp.where(con.mask_u > 0, jnp.maximum(con.ub - v0, s_floor), 1.0)
+    s_l0 = jnp.where(con.soft_l > 0, con.lls + s_floor, 0.0)
+    s_u0 = jnp.where(con.soft_u > 0, con.lus + s_floor, 0.0)
+    tb_l0 = jnp.where(con.soft_l > 0, s_floor, 1.0)
+    tb_u0 = jnp.where(con.soft_u > 0, s_floor, 1.0)
+    mu_l0 = jnp.where(con.soft_l > 0, settings.mu0 / tb_l0, 0.0)
+    mu_u0 = jnp.where(con.soft_u > 0, settings.mu0 / tb_u0, 0.0)
+    sl0 = jnp.where(con.mask_l > 0,
+                    jnp.maximum(v0 - con.lb + s_l0, s_floor), 1.0)
+    su0 = jnp.where(con.mask_u > 0,
+                    jnp.maximum(con.ub + s_u0 - v0, s_floor), 1.0)
     ll0 = jnp.where(con.mask_l > 0, settings.mu0 / sl0, 0.0)
     lu0 = jnp.where(con.mask_u > 0, settings.mu0 / su0, 0.0)
     it0 = _Iterate(x=x_init, u=u_init, pi=jnp.zeros_like(x_init),
-                   sl=sl0, su=su0, ll=ll0, lu=lu0)
+                   sl=sl0, su=su0, ll=ll0, lu=lu0,
+                   s_l=s_l0, s_u=s_u0, tb_l=tb_l0, tb_u=tb_u0,
+                   mu_l=mu_l0, mu_u=mu_u0)
 
     def compute_mu(it: _Iterate) -> jnp.ndarray:
         return (jnp.sum(it.ll * it.sl * con.mask_l)
-                + jnp.sum(it.lu * it.su * con.mask_u)) / n_act
+                + jnp.sum(it.lu * it.su * con.mask_u)
+                + jnp.sum(it.mu_l * it.tb_l * con.soft_l)
+                + jnp.sum(it.mu_u * it.tb_u * con.soft_u)) / n_act
 
     def residual_norms(it: _Iterate):
         r_dyn, r_sx, r_su = _stat_residuals(qp, con, it)
         v = _cvals(con, it.x, it.u)
-        r_l = (v - con.lb - it.sl) * con.mask_l
-        r_u = (con.ub - v - it.su) * con.mask_u
+        r_l = (v - con.lb + it.s_l * con.soft_l - it.sl) * con.mask_l
+        r_u = (con.ub + it.s_u * con.soft_u - v - it.su) * con.mask_u
+        # soft-slack bound residuals and s-stationarity
+        r_bl = (it.s_l - con.lls - it.tb_l) * con.soft_l
+        r_bu = (it.s_u - con.lus - it.tb_u) * con.soft_u
+        r_ssl = (con.Zl * it.s_l + con.zl - it.ll - it.mu_l) * con.soft_l
+        r_ssu = (con.Zu * it.s_u + con.zu - it.lu - it.mu_u) * con.soft_u
         res_stat = jnp.maximum(jnp.max(jnp.abs(r_sx)), jnp.max(jnp.abs(r_su)))
+        res_stat = jnp.maximum(res_stat, jnp.maximum(
+            jnp.max(jnp.abs(r_ssl)), jnp.max(jnp.abs(r_ssu))))
         res_eq = jnp.max(jnp.abs(r_dyn))
         res_ineq = jnp.maximum(jnp.max(jnp.abs(r_l)), jnp.max(jnp.abs(r_u)))
+        res_ineq = jnp.maximum(res_ineq, jnp.maximum(
+            jnp.max(jnp.abs(r_bl)), jnp.max(jnp.abs(r_bu))))
         res_comp = jnp.maximum(
             jnp.max(jnp.abs(it.ll * it.sl * con.mask_l)),
             jnp.max(jnp.abs(it.lu * it.su * con.mask_u)),
         )
-        return (r_dyn, r_sx, r_su, r_l, r_u), (res_stat, res_eq, res_ineq, res_comp)
+        res_comp = jnp.maximum(res_comp, jnp.maximum(
+            jnp.max(jnp.abs(it.mu_l * it.tb_l * con.soft_l)),
+            jnp.max(jnp.abs(it.mu_u * it.tb_u * con.soft_u))))
+        return ((r_dyn, r_sx, r_su, r_l, r_u, r_bl, r_bu, r_ssl, r_ssu),
+                (res_stat, res_eq, res_ineq, res_comp))
 
     def max_step(val: jnp.ndarray, dval: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         """Largest alpha in (0,1] with val + alpha dval >= (1-tau) restriction."""
@@ -272,47 +341,87 @@ def _ipm_solve(qp, x0, settings, warm_start):
         ratio = jnp.where(neg, -val / jnp.where(neg, dval, -1.0), jnp.inf)
         return jnp.minimum(1.0, jnp.min(ratio))
 
-    def newton_direction(it: _Iterate, fac: RiccatiFactors, aug, rhs_c_l, rhs_c_u,
-                         resids):
+    def soft_weights(it: _Iterate):
+        """Per-row effective weights for the slack-eliminated Hessian:
+        hard rows contribute w_h = lam/s; softened rows the series
+        combination w_h (Z + w_s)/(Z + w_h + w_s) — softening caps the
+        row's stiffness at the penalty curvature."""
+        w_hl = jnp.where(con.mask_l > 0, it.ll / it.sl, 0.0)
+        w_hu = jnp.where(con.mask_u > 0, it.lu / it.su, 0.0)
+        w_sl = jnp.where(con.soft_l > 0, it.mu_l / it.tb_l, 0.0)
+        w_su = jnp.where(con.soft_u > 0, it.mu_u / it.tb_u, 0.0)
+        w_tot_l = con.Zl + w_hl + w_sl
+        w_tot_u = con.Zu + w_hu + w_su
+        w_eff_l = jnp.where(con.soft_l > 0,
+                            w_hl * (1.0 - w_hl / w_tot_l), w_hl)
+        w_eff_u = jnp.where(con.soft_u > 0,
+                            w_hu * (1.0 - w_hu / w_tot_u), w_hu)
+        return (w_hl, w_hu, w_tot_l, w_tot_u, w_eff_l, w_eff_u)
+
+    def newton_direction(it: _Iterate, fac: RiccatiFactors, rhs_c, resids):
         """Solve one Newton system given the shared factorization.
 
-        rhs_c_* are the complementarity right-hand sides (lam*s for the
-        predictor; + correction - sigma*mu for the corrector).
+        ``rhs_c = (rc_l, rc_u, rc_bl, rc_bu)`` are complementarity
+        right-hand sides (lam*s for the predictor; + correction - sigma*mu
+        for the corrector) for the four nonnegative pairs.
         """
-        (r_dyn, r_sx, r_su, r_l, r_u) = resids
-        A_aug, B_aug = qp.A, qp.B
+        (r_dyn, r_sx, r_su, r_l, r_u, r_bl, r_bu, r_ssl, r_ssu) = resids
+        rc_l, rc_u, rc_bl, rc_bu = rhs_c
         inv_sl = jnp.where(con.mask_l > 0, 1.0 / it.sl, 0.0)
         inv_su = jnp.where(con.mask_u > 0, 1.0 / it.su, 0.0)
-        # d = Sl^-1 (r_cl + Lam_l r_l) - Su^-1 (r_cu + Lam_u r_u)
-        d = (inv_sl * (rhs_c_l + it.ll * r_l)
-             - inv_su * (rhs_c_u + it.lu * r_u))
+        inv_tbl = jnp.where(con.soft_l > 0, 1.0 / it.tb_l, 0.0)
+        inv_tbu = jnp.where(con.soft_u > 0, 1.0 / it.tb_u, 0.0)
+        w_hl, w_hu, w_tot_l, w_tot_u, _, _ = soft_weights(it)
+
+        rho_l = inv_sl * (rc_l + it.ll * r_l)
+        rho_u = inv_su * (rc_u + it.lu * r_u)
+        rho_bl = inv_tbl * (rc_bl + it.mu_l * r_bl)
+        rho_bu = inv_tbu * (rc_bu + it.mu_u * r_bu)
+        Sig_l = r_ssl + rho_l + rho_bl
+        Sig_u = r_ssu + rho_u + rho_bu
+
+        # kappa: constant part of d(lambda) = +-w_eff G dz + kappa
+        kap_l = jnp.where(con.soft_l > 0,
+                          -rho_l + w_hl * Sig_l / w_tot_l, -rho_l)
+        kap_u = jnp.where(con.soft_u > 0,
+                          -rho_u + w_hu * Sig_u / w_tot_u, -rho_u)
+        d = kap_u - kap_l
         q_add = jnp.einsum("nmj,nm->nj", con.Gx, d)
         r_add = jnp.einsum("nmj,nm->nj", con.Gu, d)[:-1]
 
         dx, du, dpi, _, _ = riccati_solve_vectors(
-            fac, A_aug, B_aug, r_dyn,
+            fac, qp.A, qp.B, r_dyn,
             r_sx + q_add, r_su + r_add, jnp.zeros_like(x0),
         )
-        # riccati minimizes 1/2 z'Hz + g'z -> step is the MINUS-Newton of
-        # residual system; here rhs entered with +res so returned (dx,du)
-        # already solve H dz + res = 0.
         Gdx = jnp.einsum("nmj,nj->nm", con.Gx, dx)
         du_full = jnp.concatenate([du, jnp.zeros_like(du[:1])], axis=0)
         Gdu = jnp.einsum("nmj,nj->nm", con.Gu, du_full)
         Gdz = Gdx + Gdu
-        dsl = (Gdz + r_l) * con.mask_l
-        dsu = (-Gdz + r_u) * con.mask_u
-        dll = jnp.where(con.mask_l > 0, -inv_sl * (rhs_c_l + it.ll * dsl), 0.0)
-        dlu = jnp.where(con.mask_u > 0, -inv_su * (rhs_c_u + it.lu * dsu), 0.0)
-        return _Iterate(x=dx, u=du, pi=dpi, sl=dsl, su=dsu, ll=dll, lu=dlu)
+
+        ds_l = jnp.where(con.soft_l > 0,
+                         -(Sig_l + w_hl * Gdz) / w_tot_l, 0.0)
+        ds_u = jnp.where(con.soft_u > 0,
+                         -(Sig_u - w_hu * Gdz) / w_tot_u, 0.0)
+        dsl = (Gdz + ds_l + r_l) * con.mask_l
+        dsu = (-Gdz + ds_u + r_u) * con.mask_u
+        dll = jnp.where(con.mask_l > 0, -inv_sl * (rc_l + it.ll * dsl), 0.0)
+        dlu = jnp.where(con.mask_u > 0, -inv_su * (rc_u + it.lu * dsu), 0.0)
+        dtb_l = (ds_l + r_bl) * con.soft_l
+        dtb_u = (ds_u + r_bu) * con.soft_u
+        dmu_l = jnp.where(con.soft_l > 0, -inv_tbl * (rc_bl + it.mu_l * dtb_l), 0.0)
+        dmu_u = jnp.where(con.soft_u > 0, -inv_tbu * (rc_bu + it.mu_u * dtb_u), 0.0)
+        return _Iterate(x=dx, u=du, pi=dpi, sl=dsl, su=dsu, ll=dll, lu=dlu,
+                        s_l=ds_l, s_u=ds_u, tb_l=dtb_l, tb_u=dtb_u,
+                        mu_l=dmu_l, mu_u=dmu_u)
 
     def one_iteration(it: _Iterate):
         resids, _ = residual_norms(it)
         mu = compute_mu(it)
 
-        # slack-eliminated Hessian augmentation W
-        W = (jnp.where(con.mask_l > 0, it.ll / it.sl, 0.0)
-             + jnp.where(con.mask_u > 0, it.lu / it.su, 0.0))
+        # slack-eliminated Hessian augmentation (soft rows use the series
+        # combination weight)
+        _, _, _, _, w_eff_l, w_eff_u = soft_weights(it)
+        W = w_eff_l + w_eff_u
         Q_aug = qp.Q + jnp.einsum("nmi,nm,nmj->nij", con.Gx, W, con.Gx)
         Gu_w = con.Gu[:-1]
         R_aug = qp.R + jnp.einsum("nmi,nm,nmj->nij", Gu_w, W[:-1], Gu_w)
@@ -321,36 +430,52 @@ def _ipm_solve(qp, x0, settings, warm_start):
                         reg=settings.reg_prim)
 
         # predictor (affine): complementarity rhs = lam*s (sigma = 0)
-        rc_l_aff = it.ll * it.sl * con.mask_l
-        rc_u_aff = it.lu * it.su * con.mask_u
-        d_aff = newton_direction(it, fac, None, rc_l_aff, rc_u_aff, resids)
+        rc_aff = (it.ll * it.sl * con.mask_l,
+                  it.lu * it.su * con.mask_u,
+                  it.mu_l * it.tb_l * con.soft_l,
+                  it.mu_u * it.tb_u * con.soft_u)
+        d_aff = newton_direction(it, fac, rc_aff, resids)
 
-        a_aff = jnp.minimum(
-            jnp.minimum(max_step(it.sl, d_aff.sl, con.mask_l),
-                        max_step(it.su, d_aff.su, con.mask_u)),
-            jnp.minimum(max_step(it.ll, d_aff.ll, con.mask_l),
-                        max_step(it.lu, d_aff.lu, con.mask_u)),
-        )
+        def joint_max_step(dd: _Iterate):
+            prim = jnp.minimum(
+                jnp.minimum(max_step(it.sl, dd.sl, con.mask_l),
+                            max_step(it.su, dd.su, con.mask_u)),
+                jnp.minimum(max_step(it.tb_l, dd.tb_l, con.soft_l),
+                            max_step(it.tb_u, dd.tb_u, con.soft_u)),
+            )
+            dual = jnp.minimum(
+                jnp.minimum(max_step(it.ll, dd.ll, con.mask_l),
+                            max_step(it.lu, dd.lu, con.mask_u)),
+                jnp.minimum(max_step(it.mu_l, dd.mu_l, con.soft_l),
+                            max_step(it.mu_u, dd.mu_u, con.soft_u)),
+            )
+            return prim, dual
+
+        ap_aff, ad_aff = joint_max_step(d_aff)
+        a_aff = jnp.minimum(ap_aff, ad_aff)
         mu_aff = (
             jnp.sum((it.ll + a_aff * d_aff.ll) * (it.sl + a_aff * d_aff.sl) * con.mask_l)
             + jnp.sum((it.lu + a_aff * d_aff.lu) * (it.su + a_aff * d_aff.su) * con.mask_u)
+            + jnp.sum((it.mu_l + a_aff * d_aff.mu_l) * (it.tb_l + a_aff * d_aff.tb_l) * con.soft_l)
+            + jnp.sum((it.mu_u + a_aff * d_aff.mu_u) * (it.tb_u + a_aff * d_aff.tb_u) * con.soft_u)
         ) / n_act
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
 
         if settings.pred_corr:
-            rc_l = rc_l_aff + (d_aff.ll * d_aff.sl - sigma * mu) * con.mask_l
-            rc_u = rc_u_aff + (d_aff.lu * d_aff.su - sigma * mu) * con.mask_u
-            d = newton_direction(it, fac, None, rc_l, rc_u, resids)
+            rc = (rc_aff[0] + (d_aff.ll * d_aff.sl - sigma * mu) * con.mask_l,
+                  rc_aff[1] + (d_aff.lu * d_aff.su - sigma * mu) * con.mask_u,
+                  rc_aff[2] + (d_aff.mu_l * d_aff.tb_l - sigma * mu) * con.soft_l,
+                  rc_aff[3] + (d_aff.mu_u * d_aff.tb_u - sigma * mu) * con.soft_u)
         else:
-            rc_l = rc_l_aff - sigma * mu * con.mask_l
-            rc_u = rc_u_aff - sigma * mu * con.mask_u
-            d = newton_direction(it, fac, None, rc_l, rc_u, resids)
+            rc = (rc_aff[0] - sigma * mu * con.mask_l,
+                  rc_aff[1] - sigma * mu * con.mask_u,
+                  rc_aff[2] - sigma * mu * con.soft_l,
+                  rc_aff[3] - sigma * mu * con.soft_u)
+        d = newton_direction(it, fac, rc, resids)
 
         tau = jnp.asarray(_FRAC_TO_BOUND, dtype)
-        a_slack = tau * jnp.minimum(max_step(it.sl, d.sl, con.mask_l),
-                                    max_step(it.su, d.su, con.mask_u))
-        a_dual = tau * jnp.minimum(max_step(it.ll, d.ll, con.mask_l),
-                                   max_step(it.lu, d.lu, con.mask_u))
+        ap, ad = joint_max_step(d)
+        a_slack, a_dual = tau * ap, tau * ad
         if settings.split_step:
             a_prim, a_du = a_slack, a_dual
         else:
@@ -365,6 +490,12 @@ def _ipm_solve(qp, x0, settings, warm_start):
             su=jnp.where(con.mask_u > 0, it.su + a_prim * d.su, 1.0),
             ll=jnp.where(con.mask_l > 0, it.ll + a_du * d.ll, 0.0),
             lu=jnp.where(con.mask_u > 0, it.lu + a_du * d.lu, 0.0),
+            s_l=jnp.where(con.soft_l > 0, it.s_l + a_prim * d.s_l, 0.0),
+            s_u=jnp.where(con.soft_u > 0, it.s_u + a_prim * d.s_u, 0.0),
+            tb_l=jnp.where(con.soft_l > 0, it.tb_l + a_prim * d.tb_l, 1.0),
+            tb_u=jnp.where(con.soft_u > 0, it.tb_u + a_prim * d.tb_u, 1.0),
+            mu_l=jnp.where(con.soft_l > 0, it.mu_l + a_du * d.mu_l, 0.0),
+            mu_u=jnp.where(con.soft_u > 0, it.mu_u + a_du * d.mu_u, 0.0),
         )
         per_iter = dict(alpha_aff=a_aff, mu_aff=mu_aff, sigma=sigma,
                         alpha_prim=a_prim, alpha_dual=a_du)
@@ -375,10 +506,15 @@ def _ipm_solve(qp, x0, settings, warm_start):
                  "mu", "res_stat", "res_eq", "res_ineq", "res_comp", "obj")
     zeros_hist = {c: jnp.zeros((iter_max + 1,), dtype) for c in stat_cols}
 
+    def full_objective(it: _Iterate):
+        pen = (jnp.sum((0.5 * con.Zl * it.s_l + con.zl) * it.s_l * con.soft_l)
+               + jnp.sum((0.5 * con.Zu * it.s_u + con.zu) * it.s_u * con.soft_u))
+        return _objective(qp, it.x, it.u) + pen
+
     def record(hist, i, it: _Iterate, extra):
         _, (rs, re, ri, rc) = residual_norms(it)
         vals = dict(mu=compute_mu(it), res_stat=rs, res_eq=re, res_ineq=ri,
-                    res_comp=rc, obj=_objective(qp, it.x, it.u), **extra)
+                    res_comp=rc, obj=full_objective(it), **extra)
         return {c: hist[c].at[i].set(vals.get(c, 0.0)) for c in stat_cols}
 
     def converged(it: _Iterate):
@@ -396,7 +532,9 @@ def _ipm_solve(qp, x0, settings, warm_start):
         new_it, _, extra = one_iteration(it)
         nan = jnp.logical_not(
             jnp.isfinite(jnp.sum(new_it.x) + jnp.sum(new_it.u)
-                         + jnp.sum(new_it.ll) + jnp.sum(new_it.lu))
+                         + jnp.sum(new_it.ll) + jnp.sum(new_it.lu)
+                         + jnp.sum(new_it.s_l) + jnp.sum(new_it.mu_l)
+                         + jnp.sum(new_it.s_u) + jnp.sum(new_it.mu_u))
         )
         tiny_step = jnp.maximum(extra["alpha_prim"], extra["alpha_dual"]) < settings.alpha_min
         new_status = jnp.where(
@@ -423,8 +561,8 @@ def _ipm_solve(qp, x0, settings, warm_start):
     # final factorization for the Riccati surface of the solution (HPIPM
     # returns the last iteration's ric quantities; we refresh them at the
     # final iterate's augmentation for a consistent (P, K, k, p) surface)
-    W = (jnp.where(con.mask_l > 0, it_f.ll / it_f.sl, 0.0)
-         + jnp.where(con.mask_u > 0, it_f.lu / it_f.su, 0.0))
+    _, _, _, _, w_eff_l_f, w_eff_u_f = soft_weights(it_f)
+    W = w_eff_l_f + w_eff_u_f
     Q_aug = qp.Q + jnp.einsum("nmi,nm,nmj->nij", con.Gx, W, con.Gx)
     Gu_w = con.Gu[:-1]
     R_aug = qp.R + jnp.einsum("nmi,nm,nmj->nij", Gu_w, W[:-1], Gu_w)
