@@ -93,3 +93,31 @@ def test_batched_engine_matches_vmap():
                                   np.asarray(v_info.converged))
     np.testing.assert_array_equal(np.asarray(batched_info.sqp_iters),
                                   np.asarray(v_info.sqp_iters))
+
+
+def test_multihost_helpers_single_process():
+    """Single-process degradation of the multi-host tier: initialize is a
+    no-op, the global mesh covers local devices, and
+    distribute_scenarios assembles a correctly sharded global array."""
+    from srbd_nmpc_tpu.parallel import multihost
+
+    multihost.initialize_cluster()
+    mesh = multihost.global_scenario_mesh()
+    assert mesh.devices.size == len(jax.devices())
+
+    local = {"x0": np.arange(16 * 12, dtype=np.float32).reshape(16, 12)}
+    dist = multihost.distribute_scenarios(local, mesh)
+    assert dist["x0"].shape == (16, 12)
+    assert len(dist["x0"].sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(dist["x0"]), local["x0"])
+
+
+def test_profiling_helpers(tmp_path):
+    from srbd_nmpc_tpu.utils import profiling
+    from srbd_nmpc_tpu.utils.timing import benchmark
+
+    with profiling.annotate("test-span"):
+        y = jnp.sum(jnp.ones((64, 64)) * 2.0)
+    assert float(y) == 8192.0
+    res = benchmark(lambda: jnp.ones(8) * 3.0, reps=3, warmup=1)
+    assert profiling.solves_per_second(res, batch=4) > 0
