@@ -10,7 +10,7 @@ line search, up to 15 iterations) from the reference's cold initialization
 itself publishes no numbers — BASELINE.md).
 
 Env knobs: BENCH_BATCH (default 1024), BENCH_REPS (default 20),
-BENCH_REFINE (default 1).
+BENCH_REFINE (default 0; the fused Pallas QP kernel path).
 """
 
 import json
@@ -25,7 +25,7 @@ import jax.numpy as jnp
 def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
     reps = int(os.environ.get("BENCH_REPS", "20"))
-    refine = int(os.environ.get("BENCH_REFINE", "1"))
+    refine = int(os.environ.get("BENCH_REFINE", "0"))
 
     from srbd_nmpc_tpu.models import srbd
     from srbd_nmpc_tpu.nmpc import engine

@@ -75,6 +75,10 @@ class NmpcConfig:
     # NMPC_solver.cpp:78 in spirit — tiny SPD safeguard).
     reg: float = _static(default=1e-9)
     refine: int = _static(default=0)
+    # "auto" | "xla" | "pallas": batched Riccati backend. "auto" picks the
+    # fused Pallas kernel on TPU when eligible (refine==0, batch % 256 == 0),
+    # else the XLA SoA scan.
+    qp_kernel: str = _static(default="auto")
 
     # Convergence thresholds (NMPC_solver.cpp:267)
     conv_dphi: float = _static(default=-1e-3)
@@ -363,10 +367,24 @@ def _sqp_step(params, weights, cfg, state, x0, x_ref, active):
     if state.x.ndim == 3:
         # batched: stay in SoA from linearization through the Riccati solve
         A, B, b, Q, S, R, q, r = _linearize_soa(params, weights, cfg, state, x_ref)
-        x_s, u_s, _ = riccati_soa.lqr_solve(
-            A, B, b, Q, S, R, q, r, jnp.moveaxis(dx0, 0, -1),
-            reg=cfg.reg, refine=cfg.refine,
+        dx0s = jnp.moveaxis(dx0, 0, -1)
+        batch = A.shape[-1]
+        use_pallas = cfg.qp_kernel == "pallas" or (
+            cfg.qp_kernel == "auto"
+            and jax.default_backend() == "tpu"
+            and cfg.refine == 0
+            and batch % 256 == 0
+            and A.shape[1] == srbd.NX
         )
+        if use_pallas:
+            from srbd_nmpc_tpu.ops import riccati_pallas
+            x_s, u_s = riccati_pallas.lqr_solve_pallas(
+                A, B, b, Q, R, q, r, dx0s, reg=cfg.reg, block=256,
+            )
+        else:
+            x_s, u_s, _ = riccati_soa.lqr_solve(
+                A, B, b, Q, S, R, q, r, dx0s, reg=cfg.reg, refine=cfg.refine,
+            )
         dx, du = jnp.moveaxis(x_s, -1, 0), jnp.moveaxis(u_s, -1, 0)
     else:
         qp = linearize(params, weights, cfg, state, x_ref)
