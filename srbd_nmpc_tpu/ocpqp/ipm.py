@@ -278,13 +278,19 @@ def _ipm_solve(qp, x0, settings, warm_start):
     n_act = jnp.maximum(n_act, 1.0)
 
     # --- initialization -----------------------------------------------------
-    if settings.warm_start and warm_start is not None:
+    warm = settings.warm_start and warm_start is not None
+    if warm:
         u_init = warm_start.u.astype(dtype)
     else:
         u_init = jnp.zeros((dims.N, dims.nu), dtype)
     x_init = _rollout(qp, x0, u_init)
     v0 = _cvals(con, x_init, u_init)
-    s_floor = jnp.asarray(jnp.sqrt(settings.mu0), dtype)
+    # cold: slacks floored at sqrt(mu0) (HPIPM-style centered start);
+    # warm: trust the provided point's distances (a large floor would
+    # distort near-active constraints and cost iterations)
+    floor = jnp.sqrt(settings.mu0) if not warm else max(
+        1e-8, float(jnp.finfo(dtype).eps) * 10.0)
+    s_floor = jnp.asarray(floor, dtype)
     s_l0 = jnp.where(con.soft_l > 0, con.lls + s_floor, 0.0)
     s_u0 = jnp.where(con.soft_u > 0, con.lus + s_floor, 0.0)
     tb_l0 = jnp.where(con.soft_l > 0, s_floor, 1.0)

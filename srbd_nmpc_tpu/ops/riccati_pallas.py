@@ -3,10 +3,10 @@
 The XLA SoA path (ops.riccati_soa) runs the backward/forward recursions as
 `lax.scan`s whose carries and per-stage intermediates round-trip through
 HBM every stage; at nx=nu=12 that leaves it far from the memory roofline.
-This kernel runs the ENTIRE solve — backward factorization, vector
-recursion and forward rollout — inside one `pallas_call` per scenario
-block: the value matrix P, gains K/k and all temporaries live in VMEM, and
-HBM is touched exactly once per stage datum.
+These kernels run the solve as two fused `pallas_call`s (backward
+factorization+vector recursion, then forward rollout): the value matrix P
+and rollout state live in VMEM scratch across a sequential stage grid, and
+HBM is touched once per stage datum (inputs in, gains/trajectory out).
 
 Layout: SoA with the scenario block in the lanes — stage arrays
 ``[N, 12, 12, BLOCK]`` (BLOCK lanes per grid step). All matrix products

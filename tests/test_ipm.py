@@ -191,3 +191,27 @@ class TestConstrained:
         solo, _ = ipm_solve(qp, x0s[2], settings)
         np.testing.assert_allclose(sols.u[2], solo.u, atol=1e-9)
         assert np.all(np.asarray(stats.status) == int(IpmStatus.SUCCESS))
+
+
+class TestWarmStart:
+    def test_warm_start_converges_to_same_solution(self):
+        """warm_start=1 parity (ocp_qp_ipm_solver.cpp:328-333 /
+        example_mpc.cpp:93): the warm-started solve of a perturbed problem
+        must converge to the cold solution. (Note: interior-point methods
+        warm-start poorly without dual information — which neither this
+        API nor HPIPM's exposes — so the iteration count is only required
+        to be in the same ballpark, not lower.)"""
+        import dataclasses
+        qp, x0 = constrained_random_qp(N=10, seed=321)
+        cold_settings = IpmSettings(iter_max=40, mu0=1e1)
+        sol, st_cold = ipm_solve(qp, x0, cold_settings)
+        assert int(st_cold.status) == int(IpmStatus.SUCCESS)
+
+        warm_settings = dataclasses.replace(cold_settings, warm_start=True,
+                                            mu0=1e-2)
+        x0b = x0 + 0.001
+        sol_w, st_w = ipm_solve(qp, x0b, warm_settings, warm_start=sol)
+        sol_c, st_c = ipm_solve(qp, x0b, cold_settings)
+        assert int(st_w.status) == int(IpmStatus.SUCCESS)
+        assert int(st_w.iter) <= int(st_c.iter) + 5, (int(st_w.iter), int(st_c.iter))
+        np.testing.assert_allclose(sol_w.u, sol_c.u, atol=1e-6)
