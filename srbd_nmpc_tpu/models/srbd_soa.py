@@ -32,12 +32,21 @@ def _safe_theta(r: jnp.ndarray) -> jnp.ndarray:
 
 
 def skew(v: jnp.ndarray) -> jnp.ndarray:
-    """[3, ...] -> [3, 3, ...]."""
-    z = jnp.zeros_like(v[0])
+    """[3, ...] -> [3, 3, ...]. (Slice-based indexing: Mosaic-safe.)"""
+    v0, v1, v2 = sm.row(v, 0), sm.row(v, 1), sm.row(v, 2)
+    z = jnp.zeros_like(v0)
     return jnp.stack([
-        jnp.stack([z, -v[2], v[1]]),
-        jnp.stack([v[2], z, -v[0]]),
-        jnp.stack([-v[1], v[0], z]),
+        jnp.stack([z, -v2, v1]),
+        jnp.stack([v2, z, -v0]),
+        jnp.stack([-v1, v0, z]),
+    ])
+
+
+def _g_vec(nb, dtype):
+    """Gravity vector [3, *nb] without scatter ops (Mosaic-safe)."""
+    return jnp.concatenate([
+        jnp.zeros((2,) + nb, dtype),
+        jnp.full((1,) + nb, GRAVITY, dtype),
     ])
 
 
@@ -48,11 +57,9 @@ def _eye3(batch_like: jnp.ndarray) -> jnp.ndarray:
 
 
 def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.stack([
-        a[1] * b[2] - a[2] * b[1],
-        a[2] * b[0] - a[0] * b[2],
-        a[0] * b[1] - a[1] * b[0],
-    ])
+    a0, a1, a2 = sm.row(a, 0), sm.row(a, 1), sm.row(a, 2)
+    b0, b1, b2 = sm.row(b, 0), sm.row(b, 1), sm.row(b, 2)
+    return jnp.stack([a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0])
 
 
 def so3_chain(r: jnp.ndarray):
@@ -69,7 +76,7 @@ def so3_chain(r: jnp.ndarray):
     inv_t = 1.0 / t
     W = skew(r)                      # un-normalized
     WW = sm.mm(W, W)
-    I = _eye3(r[0])
+    I = _eye3(sm.row(r, 0))
 
     sinc = st * inv_t
     R = I + sinc * W + ((1.0 - ct) / t2) * WW
@@ -91,16 +98,16 @@ def so3_chain(r: jnp.ndarray):
     E = [None] * 3
     e3 = jnp.eye(3, dtype=r.dtype)
     for a in range(3):
-        ea = e3[a].reshape((3,) + (1,) * (r.ndim - 1))
+        ea = sm.row(e3, a).reshape((3,) + (1,) * (r.ndim - 1))
         E[a] = skew(jnp.broadcast_to(ea, r.shape))
     # anticommutator E_a W + W E_a; E_a is a 0/±1 constant, XLA folds the
     # zero terms out of the expanded products.
     djl = jnp.stack([
-        c1 * (sm.mm(E[a], W) + sm.mm(W, E[a])) + c2 * E[a] + r[a] * base
+        c1 * (sm.mm(E[a], W) + sm.mm(W, E[a])) + c2 * E[a] + sm.row(r, a) * base
         for a in range(3)
     ])
     # djlt_a = -Jlt djl_a Jlt  (orientation_tool.h:223-225)
-    djlt = jnp.stack([-sm.mm(Jlt, sm.mm(djl[a], Jlt)) for a in range(3)])
+    djlt = jnp.stack([-sm.mm(Jlt, sm.mm(sm.row(djl, a), Jlt)) for a in range(3)])
     return dict(R=R, Jl=Jl, Jlt=Jlt, djlt=djlt)
 
 
@@ -113,7 +120,7 @@ def dynamics(params: SRBDParams, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     inv_t = 1.0 / t
     W = skew(r)
     WW = sm.mm(W, W)
-    I = _eye3(r[0])
+    I = _eye3(sm.row(r, 0))
     sinc = st * inv_t
     R = I + sinc * W + ((1.0 - ct) * inv_t * inv_t) * WW
     VV = WW * (inv_t * inv_t)
@@ -127,12 +134,11 @@ def dynamics(params: SRBDParams, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     r_dot = sm.mv(Jlt, w)
 
     nb = (1,) * (r.ndim - 1)
-    pf0 = params.foot_pos[0].reshape((3,) + nb)
-    pf1 = params.foot_pos[1].reshape((3,) + nb)
+    pf0 = sm.row(params.foot_pos, 0).reshape((3,) + nb)
+    pf1 = sm.row(params.foot_pos, 1).reshape((3,) + nb)
     l_dot = u[3:6] + u[9:12] + cross(pf0 - p, u[0:3]) + cross(pf1 - p, u[6:9])
     p_dot = v
-    g = jnp.zeros((3,) + nb, x.dtype).at[2].set(jnp.asarray(GRAVITY, x.dtype))
-    v_dot = (u[0:3] + u[6:9]) / params.mass + g
+    v_dot = (u[0:3] + u[6:9]) / params.mass + _g_vec(nb, x.dtype)
     return jnp.concatenate([r_dot, l_dot, p_dot, v_dot], axis=0)
 
 
@@ -149,7 +155,7 @@ def jacobians(params: SRBDParams, x: jnp.ndarray, u: jnp.ndarray
     RIRt = sm.mm(sm.mm(R, Iinv), sm.transpose(R))
     w = sm.mv(RIRt, l)
     # djlt_w[:, a, ...] = djlt[a] @ w
-    djlt_w = jnp.stack([sm.mv(djlt[a], w) for a in range(3)], axis=1)
+    djlt_w = jnp.stack([sm.mv(sm.row(djlt, a), w) for a in range(3)], axis=1)
 
     D1 = djlt_w + sm.mm(sm.mm(Jlt, sm.mm(RIRt, skew(l)) - skew(w)), Jl)
     D2 = sm.mm(Jlt, RIRt)
@@ -165,8 +171,8 @@ def jacobians(params: SRBDParams, x: jnp.ndarray, u: jnp.ndarray
 
     J_fx = grid([[D1, D2, Z, Z], [Z, Z, SF, Z], [Z, Z, Z, I], [Z, Z, Z, Z]])
 
-    pf0 = params.foot_pos[0].reshape((3,) + nb)
-    pf1 = params.foot_pos[1].reshape((3,) + nb)
+    pf0 = sm.row(params.foot_pos, 0).reshape((3,) + nb)
+    pf1 = sm.row(params.foot_pos, 1).reshape((3,) + nb)
     Sr = skew(jnp.broadcast_to(pf0, (3,) + batch) - p)
     Sl = skew(jnp.broadcast_to(pf1, (3,) + batch) - p)
     Im = I / params.mass

@@ -41,102 +41,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from srbd_nmpc_tpu.ops.smallmat import (
+    cholesky as _chol,
+    chol_solve as _chol_solve_mat,
+    mm as _mm,
+    mtm as _mtm,
+    mtv as _mtv,
+    mv as _mv,
+)
+
 NX = 12
-
-
-# static-integer indexing helpers that lower to slices (plain jnp int
-# indexing mixed with None lowers to `gather`, which Mosaic rejects)
-def _row(a, i):
-    """a[i] keeping dims: [n, ...] -> [1, ...]."""
-    return jax.lax.slice_in_dim(a, i, i + 1, axis=0)
-
-
-def _col(a, k):
-    """a[:, k] keeping dims: [n, m, ...] -> [n, 1, ...]."""
-    return jax.lax.slice_in_dim(a, k, k + 1, axis=1)
-
-
-def _at(a, *idx):
-    """a[i, j, ...] with static ints, squeezing the indexed axes."""
-    out = a
-    for ax, i in enumerate(idx):
-        out = jax.lax.slice_in_dim(out, i, i + 1, axis=ax)
-    return out.reshape(a.shape[len(idx):])
-
-
-def _mm(a, b):
-    """[n,k,B] @ [k,m,B] -> [n,m,B], k-loop of rank-1 updates."""
-    nk = a.shape[1]
-    acc = _col(a, 0) * _row(b, 0)
-    for k in range(1, nk):
-        acc = acc + _col(a, k) * _row(b, k)
-    return acc
-
-
-def _mtm(a, b):
-    """a' @ b: [k,n,B]' @ [k,m,B] -> [n,m,B]."""
-    nk = a.shape[0]
-    acc = jnp.swapaxes(_row(a, 0), 0, 1) * _row(b, 0)
-    for k in range(1, nk):
-        acc = acc + jnp.swapaxes(_row(a, k), 0, 1) * _row(b, k)
-    return acc
-
-
-def _mv(a, v):
-    """[n,k,B] @ [k,B] -> [n,B]."""
-    nk = a.shape[1]
-    acc = jnp.squeeze(_col(a, 0), 1) * _row(v, 0)
-    for k in range(1, nk):
-        acc = acc + jnp.squeeze(_col(a, k), 1) * _row(v, k)
-    return acc
-
-
-def _mtv(a, v):
-    """a' @ v: [k,n,B]' @ [k,B] -> [n,B]."""
-    nk = a.shape[0]
-    acc = jnp.squeeze(_row(a, 0), 0) * _row(v, 0)
-    for k in range(1, nk):
-        acc = acc + jnp.squeeze(_row(a, k), 0) * _row(v, k)
-    return acc
-
-
-def _chol(G):
-    """Right-looking Cholesky of [n,n,B]; returns (L, dinv [n,B])."""
-    n = G.shape[0]
-    S = G
-    cols = []
-    dinvs = []
-    for j in range(n):
-        dinv = jax.lax.rsqrt(_at(S, j, j))            # [B]
-        col_full = jnp.squeeze(_col(S, j), 1) * dinv[None]    # [n,B]
-        mask = (jnp.arange(n) >= j).astype(G.dtype)[:, None]
-        col = col_full * mask
-        cols.append(col)
-        dinvs.append(dinv)
-        if j + 1 < n:
-            S = S - col[:, None, :] * col[None, :, :]
-    L = jnp.stack(cols, axis=1)
-    return L, jnp.stack(dinvs, axis=0)
-
-
-def _chol_solve_mat(L, dinv, R):
-    """(L L') X = R for R [n,m,B]."""
-    n = L.shape[0]
-    Y = R
-    ys = []
-    for i in range(n):
-        yi = jnp.squeeze(_row(Y, i), 0) * _row(dinv, i)             # [m,B]
-        ys.append(yi)
-        if i + 1 < n:
-            Y = Y - _col(L, i) * yi[None, :, :]
-    X = jnp.stack(ys)
-    xs = [None] * n
-    for i in reversed(range(n)):
-        xi = jnp.squeeze(_row(X, i), 0) * _row(dinv, i)
-        xs[i] = xi
-        if i > 0:
-            X = X - jnp.swapaxes(_row(L, i), 0, 1) * xi[None, :, :]
-    return jnp.stack(xs)
 
 
 def _backward_kernel(A_ref, B_ref, b_ref, Qc_ref, Qn_ref, R_ref, qc_ref,

@@ -13,6 +13,12 @@ contraction as an unrolled k-loop of rank-1 outer products, so XLA emits
 All functions take/return arrays with TRAILING batch axes (any number,
 usually one) and leading static matrix dims. The contraction loops are
 Python-unrolled over static dims (n <= ~32), keeping compile time modest.
+
+Indexing discipline: static integer indices are expressed through
+`lax.slice_in_dim` + reshape (`_row`/`_col`/`_at`), never `a[i]` mixed
+with `None` — the latter lowers to `gather`, which the Mosaic (Pallas TPU)
+compiler rejects. This keeps every helper here usable INSIDE Pallas
+kernels as well as in plain XLA code (ops.riccati_pallas builds on them).
 """
 
 from __future__ import annotations
@@ -23,48 +29,71 @@ import jax
 import jax.numpy as jnp
 
 
+def _row(a: jnp.ndarray, i: int) -> jnp.ndarray:
+    """a[i:i+1] — row i keeping dims: [n, ...] -> [1, ...]."""
+    return jax.lax.slice_in_dim(a, i, i + 1, axis=0)
+
+
+def _col(a: jnp.ndarray, k: int) -> jnp.ndarray:
+    """a[:, k:k+1] — column k keeping dims: [n, m, ...] -> [n, 1, ...]."""
+    return jax.lax.slice_in_dim(a, k, k + 1, axis=1)
+
+
+def _at(a: jnp.ndarray, *idx: int) -> jnp.ndarray:
+    """a[i, j, ...] with static ints, squeezing the indexed axes."""
+    out = a
+    for ax, i in enumerate(idx):
+        out = jax.lax.slice_in_dim(out, i, i + 1, axis=ax)
+    return out.reshape(a.shape[len(idx):])
+
+
+def row(a: jnp.ndarray, i: int) -> jnp.ndarray:
+    """a[i] squeezed: [n, ...] -> [...]."""
+    return jnp.squeeze(_row(a, i), 0)
+
+
 def mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """C[i,j,...] = sum_k a[i,k,...] b[k,j,...]  (SoA matmul)."""
     n_k = a.shape[1]
-    acc = a[:, 0, None] * b[None, 0]
+    acc = _col(a, 0) * _row(b, 0)
     for k in range(1, n_k):
-        acc = acc + a[:, k, None] * b[None, k]
+        acc = acc + _col(a, k) * _row(b, k)
     return acc
 
 
 def mtm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """C[i,j,...] = sum_k a[k,i,...] b[k,j,...]  (a' @ b)."""
     n_k = a.shape[0]
-    acc = a[0, :, None] * b[None, 0]
+    acc = jnp.swapaxes(_row(a, 0), 0, 1) * _row(b, 0)
     for k in range(1, n_k):
-        acc = acc + a[k, :, None] * b[None, k]
+        acc = acc + jnp.swapaxes(_row(a, k), 0, 1) * _row(b, k)
     return acc
 
 
 def mmt(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """C[i,j,...] = sum_k a[i,k,...] b[j,k,...]  (a @ b')."""
     n_k = a.shape[1]
-    acc = a[:, 0, None] * b[None, :, 0]
+    acc = _col(a, 0) * jnp.swapaxes(_col(b, 0), 0, 1)
     for k in range(1, n_k):
-        acc = acc + a[:, k, None] * b[None, :, k]
+        acc = acc + _col(a, k) * jnp.swapaxes(_col(b, k), 0, 1)
     return acc
 
 
 def mv(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """y[i,...] = sum_k a[i,k,...] v[k,...]."""
     n_k = a.shape[1]
-    acc = a[:, 0] * v[None, 0]
+    acc = jnp.squeeze(_col(a, 0), 1) * _row(v, 0)
     for k in range(1, n_k):
-        acc = acc + a[:, k] * v[None, k]
+        acc = acc + jnp.squeeze(_col(a, k), 1) * _row(v, k)
     return acc
 
 
 def mtv(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """y[i,...] = sum_k a[k,i,...] v[k,...]  (a' @ v)."""
     n_k = a.shape[0]
-    acc = a[0, :] * v[None, 0]
+    acc = jnp.squeeze(_row(a, 0), 0) * _row(v, 0)
     for k in range(1, n_k):
-        acc = acc + a[k, :] * v[None, k]
+        acc = acc + jnp.squeeze(_row(a, k), 0) * _row(v, k)
     return acc
 
 
@@ -93,15 +122,15 @@ def cholesky(G: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     n = G.shape[0]
     dtype = G.dtype
-    batch_shape = (1,) * (G.ndim - 2)
+    batch_nd = G.ndim - 2
     S = G
     cols = []
     dinvs = []
     idx = jnp.arange(n)
     for j in range(n):
-        dinv = jax.lax.rsqrt(S[j, j])
-        mask = (idx >= j).astype(dtype).reshape((n,) + batch_shape)
-        col = S[:, j] * dinv * mask          # [n, ...]; rows < j zeroed
+        dinv = jax.lax.rsqrt(_at(S, j, j))
+        mask = (idx >= j).astype(dtype).reshape((n,) + (1,) * batch_nd)
+        col = jnp.squeeze(_col(S, j), 1) * dinv[None] * mask   # [n, ...]
         cols.append(col)
         dinvs.append(dinv)
         if j + 1 < n:
@@ -118,25 +147,25 @@ def chol_solve(L: jnp.ndarray, dinv: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray
     Y = R
     ys = []
     for i in range(n):
-        yi = Y[i] * dinv[i]
+        yi = jnp.squeeze(_row(Y, i), 0) * _row(dinv, i)
         ys.append(yi)
         if i + 1 < n:
-            Y = Y - L[:, i, None] * yi[None]   # rows <= i get garbage, unused
+            Y = Y - _col(L, i) * yi[None]
     Yv = jnp.stack(ys, axis=0)
     # backward substitution: L' X = Y
     xs = [None] * n
     X = Yv
     for i in reversed(range(n)):
-        xi = X[i] * dinv[i]
+        xi = jnp.squeeze(_row(X, i), 0) * _row(dinv, i)
         xs[i] = xi
         if i > 0:
-            X = X - L[i, :, None] * xi[None]   # only rows < i matter
+            X = X - jnp.swapaxes(_row(L, i), 0, 1) * xi[None]
     return jnp.stack(xs, axis=0)
 
 
 def chol_solve_vec(L: jnp.ndarray, dinv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     """Solve (L L') x = r for a vector rhs r [n, ...]."""
-    return chol_solve(L, dinv, r[:, None])[:, 0]
+    return jnp.squeeze(chol_solve(L, dinv, r[:, None]), 1)
 
 
 def to_soa(a: jnp.ndarray, batch_axes: int = 1) -> jnp.ndarray:
