@@ -37,6 +37,13 @@ def _kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref, Qw_ref,
             A_ref, B_ref, b_ref, Reff_ref, reff_ref, q_ref,
             mu_b: float, theta_b: float):
     dtype = x_ref.dtype
+    block = x_ref.shape[-1]
+
+    def widen(c):
+        # constants must reach full lane width in ONE (lane-only) broadcast:
+        # Mosaic can't broadcast a single operand in both sublanes and lanes
+        return jnp.broadcast_to(c[..., None], c.shape + (block,))
+
     x = jnp.squeeze(x_ref[...], 0)     # [12, block]
     xn = jnp.squeeze(xn_ref[...], 0)
     u = jnp.squeeze(u_ref[...], 0)
@@ -58,13 +65,13 @@ def _kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref, Qw_ref,
     A, B = srbd_soa.euler_AB(params, x, u)               # [12,12,block]
     b = srbd_soa.rk4(params, x, u) - xn                   # = -defect
 
-    Ac = Ac_ref[...]                                      # [24, 12]
-    con = sm.mv(Ac[..., None], u) + bc_ref[...]           # [24, block]
+    Ac_b = widen(Ac_ref[...])                             # [24, 12, block]
+    con = sm.mv(Ac_b, u) + bc_ref[...]                    # [24, block]
     _, db, ddb = relaxed_log_barrier(con, mu_b, theta_b)
-    Ac_b = Ac[..., None]
-    Reff = Rw_ref[...][..., None] + sm.mtm(Ac_b, Ac_b * ddb[:, None])
-    reff = sm.mv(Rw_ref[...][..., None], u) + sm.mtv(Ac_b, db)
-    q = sm.mv(Qw_ref[...][..., None], x - xr)
+    Rw = widen(Rw_ref[...])
+    Reff = Rw + sm.mtm(Ac_b, Ac_b * ddb[:, None])
+    reff = sm.mv(Rw, u) + sm.mtv(Ac_b, db)
+    q = sm.mv(widen(Qw_ref[...]), x - xr)
 
     A_ref[...] = A[None]
     B_ref[...] = B[None]

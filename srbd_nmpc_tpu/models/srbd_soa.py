@@ -128,14 +128,18 @@ def dynamics(params: SRBDParams, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     hc = half_t * (jnp.cos(half_t) / jnp.sin(half_t))
     Jlt = hc * I + (1.0 - hc) * (VV + I) - half_t * (W * inv_t)
 
-    Iinv = params.inertia_inv.reshape((3, 3) + (1,) * (r.ndim - 1))
+    batch = r.shape[1:]
+    nb = (1,) * (r.ndim - 1)
+    Iinv = jnp.broadcast_to(
+        params.inertia_inv.reshape((3, 3) + nb), (3, 3) + batch)
     RIRt = sm.mm(sm.mm(R, Iinv), sm.transpose(R))
     w = sm.mv(RIRt, l)
     r_dot = sm.mv(Jlt, w)
 
-    nb = (1,) * (r.ndim - 1)
-    pf0 = sm.row(params.foot_pos, 0).reshape((3,) + nb)
-    pf1 = sm.row(params.foot_pos, 1).reshape((3,) + nb)
+    pf0 = jnp.broadcast_to(sm.row(params.foot_pos, 0).reshape((3,) + nb),
+                           (3,) + batch)
+    pf1 = jnp.broadcast_to(sm.row(params.foot_pos, 1).reshape((3,) + nb),
+                           (3,) + batch)
     l_dot = u[3:6] + u[9:12] + cross(pf0 - p, u[0:3]) + cross(pf1 - p, u[6:9])
     p_dot = v
     v_dot = (u[0:3] + u[6:9]) / params.mass + _g_vec(nb, x.dtype)
@@ -151,7 +155,8 @@ def jacobians(params: SRBDParams, x: jnp.ndarray, u: jnp.ndarray
     R, Jl, Jlt, djlt = ch["R"], ch["Jl"], ch["Jlt"], ch["djlt"]
 
     nb = (1,) * (r.ndim - 1)
-    Iinv = params.inertia_inv.reshape((3, 3) + nb)
+    Iinv = jnp.broadcast_to(params.inertia_inv.reshape((3, 3) + nb),
+                            (3, 3) + r.shape[1:])
     RIRt = sm.mm(sm.mm(R, Iinv), sm.transpose(R))
     w = sm.mv(RIRt, l)
     # djlt_w[:, a, ...] = djlt[a] @ w
