@@ -228,13 +228,20 @@ def _merit_fast(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
 
 
 def _linearize_soa(params: srbd.SRBDParams, weights: NmpcWeights,
-                   cfg: NmpcConfig, state: NmpcState, x_ref: jnp.ndarray):
+                   cfg: NmpcConfig, state: NmpcState, x_ref: jnp.ndarray,
+                   build_QS: bool = True):
     """Batched linearization directly in the Riccati kernel's SoA layout.
 
     Input state [B, N+1, nx]; returns stage-stacked SoA arrays
     (A,B,b [N,...,B], Q,q [N+1,...,B], S,R,r [N,...,B]) — same math as
     ``linearize`` (prepareQpStructures, NMPC_solver.cpp:276-314) with zero
-    AoS<->SoA transposes of the big Jacobian tensors.
+    AoS<->SoA transposes of the big Jacobian tensors — plus a ``aux``
+    merit tuple (theta, phi, max|defect|, min constraint) at the current
+    iterate, reusing the RK4/barrier evaluation the linearization already
+    performed. The merit *gradients* are exactly the QP gradients
+    (Jphi_x == q, Jphi_u == r_eff — the reference computes the same
+    quantities twice in linearSearch, NMPC_solver.cpp:168-189), so a
+    separate merit-with-grad sweep per SQP iteration is never needed.
     """
     dtype = state.x.dtype
     N = cfg.N
@@ -262,12 +269,13 @@ def _linearize_soa(params: srbd.SRBDParams, weights: NmpcWeights,
     Ac, bc = srbd.constraint_matrix(params)
     Ac_b = Ac.reshape(Ac.shape + nb)                  # [24,12,1,1]
     con = sm.mv(Ac_b, us) + bc.reshape(bc.shape + nb)  # [24, B, N]
-    _, db, ddb = relaxed_log_barrier(con, cfg.mu_barrier, cfg.theta_barrier)
+    b_bar, db, ddb = relaxed_log_barrier(con, cfg.mu_barrier, cfg.theta_barrier)
 
     # R_eff = R + Ac' diag(ddb) Ac ; r_eff = R u + Ac' db
     R_w = weights.R.reshape(weights.R.shape + nb)
     R_eff = R_w + sm.mtm(Ac_b, Ac_b * ddb[:, None])   # [12,12,B,N]
-    r_eff = sm.mv(R_w, us) + sm.mtv(Ac_b, db)         # [12, B, N]
+    Ru = sm.mv(R_w, us)                               # [12, B, N]
+    r_eff = Ru + sm.mtv(Ac_b, db)                     # [12, B, N]
     R_eff = jnp.moveaxis(R_eff, -1, 0)
     r_eff = jnp.moveaxis(r_eff, -1, 0)
 
@@ -278,16 +286,33 @@ def _linearize_soa(params: srbd.SRBDParams, weights: NmpcWeights,
     q_term = sm.mv(Qf_w, ex[:, :, -1:])               # [nx, B, 1]
     q = jnp.moveaxis(jnp.concatenate([q_run, q_term], axis=-1), -1, 0)
 
-    Q = jnp.broadcast_to(
-        weights.Q.reshape((1,) + weights.Q.shape + (1,)), (N, srbd.NX, srbd.NX, Bn)
-    )
-    Q = jnp.concatenate(
-        [Q, jnp.broadcast_to(weights.Qf.reshape((1,) + weights.Qf.shape + (1,)),
-                             (1, srbd.NX, srbd.NX, Bn))],
-        axis=0,
-    )
-    S = jnp.zeros((N, srbd.NU, srbd.NX, Bn), dtype)
-    return A, Bm, b, Q, S, R_eff, q, r_eff
+    if build_QS:
+        Q = jnp.broadcast_to(
+            weights.Q.reshape((1,) + weights.Q.shape + (1,)),
+            (N, srbd.NX, srbd.NX, Bn),
+        )
+        Q = jnp.concatenate(
+            [Q, jnp.broadcast_to(
+                weights.Qf.reshape((1,) + weights.Qf.shape + (1,)),
+                (1, srbd.NX, srbd.NX, Bn))],
+            axis=0,
+        )
+        S = jnp.zeros((N, srbd.NU, srbd.NX, Bn), dtype)
+    else:
+        # the fused const-Q Pallas kernel takes (Q, Qf) directly; never
+        # materialize the [N+1,12,12,B] broadcast or the all-zero S
+        Q, S = None, None
+
+    # merit at the current iterate from byproducts (defect f = -b):
+    theta = 0.5 * jnp.sum(b * b, axis=(0, 1))                        # [B]
+    phi = (0.5 * jnp.sum(ex[:, :, :-1] * q_run, axis=(0, 2))
+           + 0.5 * jnp.sum(ex[:, :, -1] * q_term[:, :, 0], axis=0)
+           + jnp.sum(b_bar, axis=(0, 2))
+           + 0.5 * jnp.sum(us * Ru, axis=(0, 2)))
+    max_defect = jnp.max(jnp.abs(b), axis=(0, 1))
+    min_con = jnp.min(con, axis=(0, 2))
+    aux = (theta, phi, max_defect, min_con)
+    return A, Bm, b, Q, S, R_eff, q, r_eff, aux
 
 
 def linearize(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
@@ -299,7 +324,7 @@ def linearize(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
     no hard constraint rows.
     """
     if state.x.ndim == 3:
-        A, B, b, Q, S, R, q, r = _linearize_soa(params, weights, cfg, state, x_ref)
+        A, B, b, Q, S, R, q, r, _ = _linearize_soa(params, weights, cfg, state, x_ref)
         f = lambda z: jnp.moveaxis(z, -1, 0)  # [N,...,B] -> [B,N,...]
         return OcpQp(A=f(A), B=f(B), b=f(b), Q=f(Q), S=f(S), R=f(R),
                      q=f(q), r=f(r))
@@ -408,30 +433,38 @@ def sqp_step(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
 def _sqp_step(params, weights, cfg, state, x0, x_ref, active):
     dx0 = x0 - state.x[..., 0, :]
     if state.x.ndim == 3:
-        # batched: stay in SoA from linearization through the Riccati solve
-        A, B, b, Q, S, R, q, r = _linearize_soa(params, weights, cfg, state, x_ref)
+        # batched: stay in SoA from linearization through the Riccati solve;
+        # current-point merit and its gradients fall out of the
+        # linearization byproducts (Jphi_x == q, Jphi_u == r), so no
+        # separate merit sweep is run here.
+        use_pallas = (_pallas_eligible(cfg, state.x.shape[0])
+                      and cfg.refine == 0)
+        A, B, b, Q, S, R, q, r, aux = _linearize_soa(
+            params, weights, cfg, state, x_ref, build_QS=not use_pallas)
+        theta0, phi0, max_defect, min_con = aux
         dx0s = jnp.moveaxis(dx0, 0, -1)
-        use_pallas = (_pallas_eligible(cfg, A.shape[-1]) and cfg.refine == 0
-                      and A.shape[1] == srbd.NX)
         if use_pallas:
             from srbd_nmpc_tpu.ops import riccati_pallas
             x_s, u_s = riccati_pallas.lqr_solve_pallas(
-                A, B, b, Q, R, q, r, dx0s, reg=cfg.reg, block=256,
+                A, B, b, (weights.Q, weights.Qf), R, q, r, dx0s,
+                reg=cfg.reg, block=256,
             )
         else:
             x_s, u_s, _ = riccati_soa.lqr_solve(
                 A, B, b, Q, S, R, q, r, dx0s, reg=cfg.reg, refine=cfg.refine,
             )
+        dphi = (jnp.sum(x_s * q, axis=(0, 1)) + jnp.sum(u_s * r, axis=(0, 1)))
         dx, du = jnp.moveaxis(x_s, -1, 0), jnp.moveaxis(u_s, -1, 0)
     else:
         qp = linearize(params, weights, cfg, state, x_ref)
         sol = lqr_solve(qp, dx0, reg=cfg.reg, refine=cfg.refine)
         dx, du = sol.x, sol.u
-
-    theta0, phi0, max_defect, min_con, Jphi_x, Jphi_u = _merit_fast(
-        params, weights, cfg, state.x, state.u, x_ref, with_grad=True
-    )
-    dphi = jnp.sum(dx * Jphi_x, axis=(-2, -1)) + jnp.sum(du * Jphi_u, axis=(-2, -1))
+        theta0, phi0, max_defect, min_con = _merit_fast(
+            params, weights, cfg, state.x, state.u, x_ref
+        )
+        # merit gradients == QP gradients (qp.q, qp.r)
+        dphi = (jnp.sum(dx * qp.q, axis=(-2, -1))
+                + jnp.sum(du * qp.r, axis=(-2, -1)))
 
     if active is None:
         active = jnp.ones(theta0.shape, dtype=bool)

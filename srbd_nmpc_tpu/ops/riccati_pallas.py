@@ -97,6 +97,48 @@ def _backward_kernel(A_ref, B_ref, b_ref, Qc_ref, Qn_ref, R_ref, qc_ref,
     k_ref[...] = kv[None]
 
 
+def _backward_kernel_constq(A_ref, B_ref, b_ref, Qw_ref, Qfw_ref, R_ref,
+                            qc_ref, qn_ref, r_ref, K_ref, k_ref, P_scr,
+                            p_scr, reg: float, N: int):
+    """Backward recursion specialized to stage-constant cost matrices:
+    Q_k == Q (k<N) and Q_N == Qf for every stage and scenario — the NMPC
+    engine's case (NMPC_solver.cpp:305,312 reuse the same weight
+    matrices every stage). Qw/Qfw arrive as single lane-widened
+    [12,12,block] blocks with constant index maps, so the [N+1,12,12,B]
+    broadcast tensor never exists in HBM (saves ~2x47 MB of write+read
+    traffic per SQP iteration at B=4096)."""
+    g = pl.program_id(1)
+    dtype = P_scr.dtype
+    eye_reg = jnp.asarray(reg, dtype) * jnp.eye(NX, dtype=dtype)[:, :, None]
+
+    A = jnp.squeeze(A_ref[...], 0)
+    B = jnp.squeeze(B_ref[...], 0)
+
+    @pl.when(g == 0)
+    def _():
+        P_scr[...] = Qfw_ref[...]
+        p_scr[...] = jnp.squeeze(qn_ref[...], 0)
+
+    P = P_scr[...]
+    p = p_scr[...]
+    PA = _mm(P, A)
+    PB = _mm(P, B)
+    G = jnp.squeeze(R_ref[...], 0) + _mtm(B, PB) + eye_reg
+    H = _mtm(B, PA)
+    L, dinv = _chol(G)
+    K = -_chol_solve_mat(L, dinv, H)
+    Pb_p = _mv(P, jnp.squeeze(b_ref[...], 0)) + p
+    kv = -jnp.squeeze(
+        _chol_solve_mat(L, dinv,
+                        (_mtv(B, Pb_p) + jnp.squeeze(r_ref[...], 0))[:, None, :]), 1)
+    q_cur = jnp.squeeze(qc_ref[...], 0)
+    P_new = Qw_ref[...] + _mtm(A, PA) + _mtm(H, K)
+    P_scr[...] = 0.5 * (P_new + jnp.swapaxes(P_new, 0, 1))
+    p_scr[...] = q_cur + _mtv(A, Pb_p) + _mtv(H, kv)
+    K_ref[...] = K[None]
+    k_ref[...] = kv[None]
+
+
 def _forward_kernel(A_ref, B_ref, b_ref, K_ref, k_ref, x0_ref,
                     x_ref, u_ref, x_scr, N: int):
     """Sequential-grid forward rollout; x carried in VMEM scratch."""
@@ -125,28 +167,54 @@ def lqr_solve_pallas(
     A,B [N,12,12,Bt], b [N,12,Bt], Q [N+1,12,12,Bt], R [N,12,12,Bt],
     q [N+1,12,Bt], r [N,12,Bt], x0 [12,Bt]. Returns (x [N+1,12,Bt],
     u [N,12,Bt]).
+
+    ``Q`` may instead be a tuple ``(Q_small, Qf_small)`` of [12,12]
+    matrices shared by every stage/scenario (the NMPC engine's case);
+    the kernel then never materializes the [N+1,12,12,Bt] broadcast.
     """
     N = A.shape[0]
     Bt = A.shape[-1]
     assert Bt % block == 0, (Bt, block)
     dtype = A.dtype
+    const_q = isinstance(Q, tuple)
 
     # ---- backward: grid (batch-blocks, stages), stages sequential ----
     sm_ = lambda i, g: (N - 1 - g, 0, 0, i)   # stage-major matrix blocks
     sv_ = lambda i, g: (N - 1 - g, 0, i)      # stage-major vector blocks
-    bwd_specs = [
-        pl.BlockSpec((1, NX, NX, block), sm_),  # A
-        pl.BlockSpec((1, NX, NX, block), sm_),  # B
-        pl.BlockSpec((1, NX, block), sv_),      # b
-        pl.BlockSpec((1, NX, NX, block), sm_),  # Q current (Q[:-1])
-        pl.BlockSpec((1, NX, NX, block), sm_),  # Q next    (Q[1:])
-        pl.BlockSpec((1, NX, NX, block), sm_),  # R
-        pl.BlockSpec((1, NX, block), sv_),      # q current
-        pl.BlockSpec((1, NX, block), sv_),      # q next
-        pl.BlockSpec((1, NX, block), sv_),      # r
-    ]
+    if const_q:
+        # lane-widened constant blocks; index map constant => fetched once
+        Qw = jnp.broadcast_to(Q[0][:, :, None], (NX, NX, block)).astype(dtype)
+        Qfw = jnp.broadcast_to(Q[1][:, :, None], (NX, NX, block)).astype(dtype)
+        cw_ = lambda i, g: (0, 0, 0)
+        bwd_specs = [
+            pl.BlockSpec((1, NX, NX, block), sm_),  # A
+            pl.BlockSpec((1, NX, NX, block), sm_),  # B
+            pl.BlockSpec((1, NX, block), sv_),      # b
+            pl.BlockSpec((NX, NX, block), cw_),     # Q (widened, constant)
+            pl.BlockSpec((NX, NX, block), cw_),     # Qf (widened, constant)
+            pl.BlockSpec((1, NX, NX, block), sm_),  # R
+            pl.BlockSpec((1, NX, block), sv_),      # q current
+            pl.BlockSpec((1, NX, block), sv_),      # q next
+            pl.BlockSpec((1, NX, block), sv_),      # r
+        ]
+        kernel = functools.partial(_backward_kernel_constq, reg=reg, N=N)
+        operands = (A, B, b, Qw, Qfw, R, q[:-1], q[1:], r)
+    else:
+        bwd_specs = [
+            pl.BlockSpec((1, NX, NX, block), sm_),  # A
+            pl.BlockSpec((1, NX, NX, block), sm_),  # B
+            pl.BlockSpec((1, NX, block), sv_),      # b
+            pl.BlockSpec((1, NX, NX, block), sm_),  # Q current (Q[:-1])
+            pl.BlockSpec((1, NX, NX, block), sm_),  # Q next    (Q[1:])
+            pl.BlockSpec((1, NX, NX, block), sm_),  # R
+            pl.BlockSpec((1, NX, block), sv_),      # q current
+            pl.BlockSpec((1, NX, block), sv_),      # q next
+            pl.BlockSpec((1, NX, block), sv_),      # r
+        ]
+        kernel = functools.partial(_backward_kernel, reg=reg, N=N)
+        operands = (A, B, b, Q[:-1], Q[1:], R, q[:-1], q[1:], r)
     K, k = pl.pallas_call(
-        functools.partial(_backward_kernel, reg=reg, N=N),
+        kernel,
         grid=(Bt // block, N),
         in_specs=bwd_specs,
         out_specs=[
@@ -164,7 +232,7 @@ def lqr_solve_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(A, B, b, Q[:-1], Q[1:], R, q[:-1], q[1:], r)
+    )(*operands)
 
     # ---- forward rollout ----
     fwd_specs = [

@@ -148,3 +148,31 @@ class TestNmpcBatched:
         err = np.max(np.abs(np.asarray(s32.u, np.float64) - np.asarray(s64.u)))
         rel = err / 100.0  # force scale
         assert rel < 1e-3, (err, rel)
+
+
+class TestLinearizeMeritFusion:
+    def test_linearize_aux_matches_merit(self):
+        """_linearize_soa's merit byproducts (theta, phi, max|defect|,
+        min constraint) must equal the standalone merit(); its q/r outputs
+        must equal the merit gradients (the fused SQP step relies on
+        Jphi_x == q and Jphi_u == r_eff)."""
+        params, weights, cfg, state, x0, x_ref = reference_setup()
+        rng = np.random.default_rng(7)
+        B = 6
+        states = engine.NmpcState(
+            x=jnp.asarray(rng.normal(size=(B, cfg.N + 1, 12)) * 0.3),
+            u=jnp.asarray(rng.normal(size=(B, cfg.N, 12)) * 30 + 80),
+            alpha=jnp.ones(B, jnp.float64),
+        )
+        *_, q, r, aux = engine._linearize_soa(params, weights, cfg, states, x_ref)
+        theta, phi, md, mc = aux
+
+        t_ref, p_ref, defects, con, Jx, Ju = engine.merit(
+            params, weights, cfg, states.x, states.u, x_ref, with_grad=True
+        )
+        np.testing.assert_allclose(theta, t_ref, rtol=1e-12)
+        np.testing.assert_allclose(phi, p_ref, rtol=1e-12)
+        np.testing.assert_allclose(md, np.max(np.abs(defects), axis=(-2, -1)), rtol=1e-12)
+        np.testing.assert_allclose(mc, np.min(np.asarray(con), axis=(-2, -1)), rtol=1e-12)
+        np.testing.assert_allclose(jnp.moveaxis(q, -1, 0), Jx, atol=1e-11)
+        np.testing.assert_allclose(jnp.moveaxis(r, -1, 0), Ju, atol=1e-11)

@@ -64,3 +64,24 @@ def test_grid_blocks_independent(interpret_pallas):
     x1, u1 = rp.lqr_solve_pallas(A, Bm, b, Q, R, q, r, x0, reg=1e-7, block=256)
     np.testing.assert_allclose(x2, x1, atol=1e-6)
     np.testing.assert_allclose(u2, u1, atol=1e-6)
+
+
+def test_constq_variant_matches(interpret_pallas):
+    """(Q, Qf) tuple input (stage/scenario-constant costs, the NMPC
+    engine's case) must match the full-Q kernel."""
+    rp = interpret_pallas
+    A, Bm, b, Q, R, q, r, x0 = make_problem(N=8, B=128)
+    rng = np.random.default_rng(5)
+    Qh = jnp.asarray(rng.normal(size=(12, 12)), jnp.float32)
+    Qs = Qh @ Qh.T * 0.1 + jnp.eye(12, dtype=jnp.float32)
+    Qfh = jnp.asarray(rng.normal(size=(12, 12)), jnp.float32)
+    Qfs = Qfh @ Qfh.T * 0.1 + jnp.eye(12, dtype=jnp.float32)
+    Qfull = jnp.concatenate(
+        [jnp.broadcast_to(Qs[None, :, :, None], (8, 12, 12, 128)),
+         jnp.broadcast_to(Qfs[None, :, :, None], (1, 12, 12, 128))], axis=0)
+    x_c, u_c = rp.lqr_solve_pallas(A, Bm, b, (Qs, Qfs), R, q, r, x0,
+                                   reg=1e-7, block=128)
+    x_f, u_f = rp.lqr_solve_pallas(A, Bm, b, Qfull, R, q, r, x0,
+                                   reg=1e-7, block=128)
+    np.testing.assert_allclose(x_c, x_f, atol=1e-6)
+    np.testing.assert_allclose(u_c, u_f, atol=1e-6)

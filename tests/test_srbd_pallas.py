@@ -45,7 +45,7 @@ def test_matches_xla_linearizer(interpret_pallas):
         u=jnp.asarray(rng.normal(size=(B, N, 12)) * 30 + 80, dtype),
         alpha=jnp.ones(B, dtype))
 
-    A, Bm, b, Q, S, R, q, r = engine._linearize_soa(params, weights, cfg, states, x_ref)
+    A, Bm, b, Q, S, R, q, r, _ = engine._linearize_soa(params, weights, cfg, states, x_ref)
 
     Ac, bc = srbd.constraint_matrix(params)
     xs = jnp.transpose(states.x[:, :-1, :], (1, 2, 0))
