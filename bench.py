@@ -22,6 +22,40 @@ import jax
 import jax.numpy as jnp
 
 
+def parity_gate(params, weights, cfg, x_ref, dtype, B: int = 512) -> float:
+    """Compare the fused Pallas SQP-step path against the XLA SoA path at
+    B=512 on whatever backend bench runs on; returns the max |du| error and
+    raises if it exceeds 1e-3 (f32 path; the f64 numerics gates live in
+    tests/). Uses one full solve each so every Pallas kernel in the hot
+    path (linearize/riccati/merit) is covered."""
+    import dataclasses
+
+    import numpy as np
+
+    from srbd_nmpc_tpu.models import srbd
+    from srbd_nmpc_tpu.nmpc import engine
+    from srbd_nmpc_tpu.parallel import sharded
+
+    x0, _ = engine.make_benchmark_problem(cfg, dtype)
+    rng = np.random.default_rng(42)
+    x0s = jnp.asarray(
+        np.asarray(x0)[None] + 0.01 * rng.normal(size=(B, srbd.NX)), dtype
+    )
+    states = sharded.broadcast_state(engine.NmpcState.initial(cfg.N, dtype), B)
+
+    outs = {}
+    for kern in ("pallas", "xla"):
+        cfg_k = dataclasses.replace(cfg, qp_kernel=kern)
+        st, _ = jax.jit(
+            lambda p, w, s, x, r, c=cfg_k: engine.solve(p, w, c, s, x, r)
+        )(params, weights, states, x0s, x_ref)
+        outs[kern] = jax.block_until_ready(st)
+    err = float(jnp.max(jnp.abs(outs["pallas"].u - outs["xla"].u)))
+    if not err < 1e-3:
+        raise AssertionError(f"Pallas/XLA parity gate failed: max|du|={err}")
+    return err
+
+
 def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
     reps = int(os.environ.get("BENCH_REPS", "20"))
@@ -59,6 +93,14 @@ def main() -> None:
     compile_s = time.perf_counter() - t0
     n_conv = int(summary.n_converged)
 
+    # --- Mosaic-path parity gate (VERDICT r1 #5): on the real chip, the
+    # Pallas kernels must match the XLA SoA path; a silent numerical
+    # regression in the Pallas path must not ship a green bench. -----------
+    parity_err = (
+        parity_gate(params, weights, cfg, x_ref, dtype)
+        if jax.default_backend() == "tpu" else -1.0
+    )
+
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -67,6 +109,7 @@ def main() -> None:
     p50 = float(np.percentile(np.asarray(times), 50))
 
     solves_per_s = batch / p50
+    conv_frac = n_conv / batch
     out = {
         "metric": "cold_nmpc_solves_per_s_chip_N20",
         "value": round(solves_per_s, 1),
@@ -79,8 +122,15 @@ def main() -> None:
         "mean_sqp_iters": round(float(summary.mean_iters), 2),
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
+        "pallas_xla_parity_max_du": round(parity_err, 6),
+        "ok": conv_frac >= 0.95,
     }
     print(json.dumps(out))
+    if conv_frac < 0.95:
+        # convergence gate: a fast-but-broken solve must not look green
+        print(f"BENCH FAILED: converged fraction {conv_frac:.3f} < 0.95",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

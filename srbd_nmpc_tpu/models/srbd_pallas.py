@@ -34,7 +34,7 @@ _NPARAM = 8  # mass, dt, mu, lfx, lfz, fmax, fmin, pad
 
 def _kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref, Qw_ref,
             x_ref, xn_ref, u_ref, xr_ref,
-            A_ref, B_ref, b_ref, Reff_ref, reff_ref, q_ref,
+            A_ref, B_ref, b_ref, Reff_ref, reff_ref, q_ref, mer_ref,
             mu_b: float, theta_b: float):
     dtype = x_ref.dtype
     block = x_ref.shape[-1]
@@ -67,10 +67,11 @@ def _kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref, Qw_ref,
 
     Ac_b = widen(Ac_ref[...])                             # [24, 12, block]
     con = sm.mv(Ac_b, u) + bc_ref[...]                    # [24, block]
-    _, db, ddb = relaxed_log_barrier(con, mu_b, theta_b)
+    b_bar, db, ddb = relaxed_log_barrier(con, mu_b, theta_b)
     Rw = widen(Rw_ref[...])
     Reff = Rw + sm.mtm(Ac_b, Ac_b * ddb[:, None])
-    reff = sm.mv(Rw, u) + sm.mtv(Ac_b, db)
+    Ru = sm.mv(Rw, u)
+    reff = Ru + sm.mtv(Ac_b, db)
     q = sm.mv(widen(Qw_ref[...]), x - xr)
 
     A_ref[...] = A[None]
@@ -79,6 +80,23 @@ def _kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref, Qw_ref,
     Reff_ref[...] = Reff[None]
     reff_ref[...] = reff[None]
     q_ref[...] = q[None]
+    # per-stage merit partials — byproducts of tensors already in VMEM
+    # (the reference re-evaluates all of these in linearSearch,
+    # NMPC_solver.cpp:152-189; here the current-point merit is free):
+    # rows: 0 theta part = 1/2 sum f^2 (f = -b); 1 barrier value sum;
+    # 2 min constraint; 3 max |defect|; 4 input cost 1/2 u'Ru;
+    # 5 tracking cost 1/2 ex'Q ex = 1/2 ex.q; 6-7 padding.
+    zero = jnp.zeros((1, block), dtype)
+    mer = jnp.concatenate([
+        0.5 * jnp.sum(b * b, axis=0, keepdims=True),
+        jnp.sum(b_bar, axis=0, keepdims=True),
+        jnp.min(con, axis=0, keepdims=True),
+        jnp.max(jnp.abs(b), axis=0, keepdims=True),
+        0.5 * jnp.sum(u * Ru, axis=0, keepdims=True),
+        0.5 * jnp.sum((x - xr) * q, axis=0, keepdims=True),
+        zero, zero,
+    ], axis=0)                                            # [8, block]
+    mer_ref[...] = mer[None]
 
 
 def linearize_pallas(
@@ -91,7 +109,11 @@ def linearize_pallas(
 
     Inputs stage-major SoA: xs/xn/us/xr [N,12,Bt] (current state, next
     state, input, reference per stage). Returns
-    (A, B [N,12,12,Bt], b, q, r_eff [N,12,Bt], R_eff [N,12,12,Bt]).
+    (A, B [N,12,12,Bt], b, q, r_eff [N,12,Bt], R_eff [N,12,12,Bt],
+    mer [N,8,Bt]) where ``mer`` carries per-stage merit partials (see
+    ``_kernel``): summing/reducing over stages outside the kernel yields
+    the current-point merit (theta, phi_running, max|defect|, min con)
+    with no separate merit sweep.
     """
     N, _, Bt = xs.shape
     assert Bt % block == 0, (Bt, block)
@@ -126,6 +148,7 @@ def linearize_pallas(
         pl.BlockSpec((1, NU, NU, block), sm_),
         pl.BlockSpec((1, NU, block), sv_),
         pl.BlockSpec((1, NX, block), sv_),
+        pl.BlockSpec((1, 8, block), sv_),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((N, NX, NX, Bt), dtype),
@@ -134,8 +157,9 @@ def linearize_pallas(
         jax.ShapeDtypeStruct((N, NU, NU, Bt), dtype),
         jax.ShapeDtypeStruct((N, NU, Bt), dtype),
         jax.ShapeDtypeStruct((N, NX, Bt), dtype),
+        jax.ShapeDtypeStruct((N, 8, Bt), dtype),
     ]
-    A, B, b, Reff, reff, q = pl.pallas_call(
+    A, B, b, Reff, reff, q, mer = pl.pallas_call(
         functools.partial(_kernel, mu_b=mu_b, theta_b=theta_b),
         grid=(Bt // block, N),
         in_specs=in_specs,
@@ -144,4 +168,4 @@ def linearize_pallas(
     )(scal, params.inertia_inv.astype(dtype), params.foot_pos.astype(dtype),
       Ac.astype(dtype), bc.astype(dtype).reshape(NG, 1),
       R_w.astype(dtype), Q_w.astype(dtype), xs, xn, us, xr)
-    return A, B, b, q, reff, Reff
+    return A, B, b, q, reff, Reff, mer

@@ -46,6 +46,15 @@ def _static(**kw):
     return dataclasses.field(metadata=dict(static=True), **kw)
 
 
+# Engine status codes — same encoding as ocpqp.settings.IpmStatus
+# (ocp_qp_ipm_solver.hpp:24-30). STATUS_RUNNING doubles as
+# MAX_ITER_REACHED: a scenario that never leaves it ran out of iterations.
+STATUS_SUCCESS = 0
+STATUS_RUNNING = 1           # == MAX_ITER_REACHED at exit
+STATUS_MIN_STEP = 2          # line search stalled at alpha_min
+STATUS_NAN_DETECTED = 3
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class NmpcConfig:
@@ -76,9 +85,13 @@ class NmpcConfig:
     reg: float = _static(default=1e-9)
     refine: int = _static(default=0)
     # "auto" | "xla" | "pallas": batched Riccati backend. "auto" picks the
-    # fused Pallas kernel on TPU when eligible (refine==0, batch % 256 == 0),
-    # else the XLA SoA scan.
+    # fused Pallas kernel on TPU when eligible (refine==0, batch divisible
+    # by pallas_block), else the XLA SoA scan.
     qp_kernel: str = _static(default="auto")
+    # scenario-lane block per Pallas grid step (lane dimension of every
+    # kernel operand; larger blocks amortize per-grid-step overhead until
+    # VMEM pressure bites)
+    pallas_block: int = _static(default=256)
 
     # Convergence thresholds (NMPC_solver.cpp:267)
     conv_dphi: float = _static(default=-1e-3)
@@ -128,7 +141,15 @@ class NmpcState:
 @dataclasses.dataclass(frozen=True)
 class NmpcInfo:
     """Per-scenario diagnostics, superset of printOptimizationInfo's data
-    (NMPC_solver.cpp:113-141)."""
+    (NMPC_solver.cpp:113-141).
+
+    ``status`` uses the IpmStatus codes (ocp_qp_ipm_solver.hpp:24-30):
+    0 SUCCESS, 1 MAX_ITER_REACHED, 2 MIN_STEP_LENGTH_REACHED (the line
+    search bottomed out at alpha_min without converging — a stall), 3
+    NAN_DETECTED (a non-finite merit/direction; the scenario freezes at
+    its last finite iterate — the engine analogue of the reference's
+    try/catch guard, NMPC_solver.cpp:383-392).
+    """
 
     converged: jnp.ndarray       # [...] bool
     sqp_iters: jnp.ndarray       # [...] int32
@@ -138,6 +159,51 @@ class NmpcInfo:
     alpha: jnp.ndarray           # [...] — final step size
     max_defect: jnp.ndarray      # [...] — max |dynamics defect|
     min_constraint: jnp.ndarray  # [...] — most-negative friction-cone value
+    status: jnp.ndarray          # [...] int32 — IpmStatus codes
+
+    def pretty(self) -> str:
+        """Human-readable report — the printOptimizationInfo analogue
+        (NMPC_solver.cpp:113-141: sqp_loop, phi, dphi, theta, alpha, max
+        friction-cone violation, max dynamics violation), aggregated over
+        the scenario batch when one is present."""
+        import numpy as np
+
+        names = {0: "SUCCESS", 1: "MAX_ITER_REACHED",
+                 2: "MIN_STEP_LENGTH_REACHED", 3: "NAN_DETECTED"}
+        conv = np.asarray(self.converged)
+        stat = np.asarray(self.status)
+        lines = ["-----------------------"]
+        if conv.ndim == 0:
+            lines += [
+                f"status      : {names.get(int(stat), int(stat))}",
+                f"sqp_loop    : {int(np.asarray(self.sqp_iters))}",
+                f"phi         : {float(np.asarray(self.phi)):.6e}",
+                f"dphi        : {float(np.asarray(self.dphi)):.6e}",
+                f"theta       : {float(np.asarray(self.theta)):.6e}",
+                f"alpha       : {float(np.asarray(self.alpha)):.6e}",
+                "max dynamic equation violation    : "
+                f"{float(np.asarray(self.max_defect)):.6e}",
+                "min friction cone constraint value: "
+                f"{float(np.asarray(self.min_constraint)):.6e}",
+            ]
+        else:
+            n = conv.size
+            counts = {names[k]: int(np.sum(stat == k)) for k in names
+                      if np.any(stat == k)}
+            lines += [
+                f"scenarios   : {n}  (converged {int(conv.sum())}/{n})",
+                f"status      : {counts}",
+                f"sqp_loop    : mean {float(np.mean(np.asarray(self.sqp_iters))):.2f}"
+                f"  max {int(np.max(np.asarray(self.sqp_iters)))}",
+                f"phi         : max {float(np.max(np.asarray(self.phi))):.6e}",
+                f"theta       : max {float(np.max(np.asarray(self.theta))):.6e}",
+                f"alpha       : min {float(np.min(np.asarray(self.alpha))):.6e}",
+                "max dynamic equation violation    : "
+                f"{float(np.max(np.asarray(self.max_defect))):.6e}",
+                "min friction cone constraint value: "
+                f"{float(np.min(np.asarray(self.min_constraint))):.6e}",
+            ]
+        return "\n".join(lines)
 
 
 def merit(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
@@ -188,7 +254,7 @@ def _pallas_eligible(cfg: NmpcConfig, batch: int) -> bool:
     return cfg.qp_kernel == "pallas" or (
         cfg.qp_kernel == "auto"
         and jax.default_backend() == "tpu"
-        and batch % 256 == 0
+        and batch % cfg.pallas_block == 0
     )
 
 
@@ -212,7 +278,7 @@ def _merit_fast(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
         )
         th, ph, Jx, Ju, md, mc = merit_pallas.merit_pallas(
             params, weights.Q, weights.Qf, weights.R, Ac, bc, xs, us, xr,
-            cfg.mu_barrier, cfg.theta_barrier, block=256,
+            cfg.mu_barrier, cfg.theta_barrier, block=cfg.pallas_block,
         )
         if with_grad:
             return th, ph, md, mc, jnp.transpose(Jx, (2, 0, 1)), jnp.transpose(Ju, (2, 0, 1))
@@ -313,6 +379,44 @@ def _linearize_soa(params: srbd.SRBDParams, weights: NmpcWeights,
     min_con = jnp.min(con, axis=(0, 2))
     aux = (theta, phi, max_defect, min_con)
     return A, Bm, b, Q, S, R_eff, q, r_eff, aux
+
+
+def _linearize_pallas(params: srbd.SRBDParams, weights: NmpcWeights,
+                      cfg: NmpcConfig, state: NmpcState, x_ref: jnp.ndarray,
+                      block: int = 256):
+    """Fused Pallas linearization: one kernel per (scenario-block, stage)
+    evaluates the whole prepareQpStructures stage math plus the
+    current-point merit partials (models/srbd_pallas.py), so the
+    [N,12,12,B] Jacobian tensors are written to HBM exactly once and no
+    separate XLA linearize/merit sweeps run. Same contract as
+    ``_linearize_soa(..., build_QS=False)``: returns
+    (A, B, b, R_eff, q, r_eff, aux)."""
+    from srbd_nmpc_tpu.models import srbd_pallas
+
+    Bn = state.x.shape[0]
+    xa = jnp.transpose(state.x, (1, 2, 0))            # [N+1, 12, B]
+    us = jnp.transpose(state.u, (1, 2, 0))            # [N, 12, B]
+    if x_ref.ndim == 2:
+        xra = jnp.broadcast_to(x_ref[:, :, None], (cfg.N + 1, srbd.NX, Bn))
+    else:
+        xra = jnp.transpose(x_ref, (1, 2, 0))
+    Ac, bc = srbd.constraint_matrix(params)
+    A, Bm, b, q_run, r_eff, R_eff, mer = srbd_pallas.linearize_pallas(
+        params, weights.Q, weights.R, Ac, bc,
+        xa[:-1], xa[1:], us, xra[:-1],
+        cfg.mu_barrier, cfg.theta_barrier, block=block,
+    )
+    # terminal tracking gradient + cost (tiny [12, B] math, outside Pallas)
+    eN = xa[-1] - xra[-1]
+    q_term = jnp.einsum("ij,jb->ib", weights.Qf, eN)
+    q = jnp.concatenate([q_run, q_term[None]], axis=0)
+
+    theta = jnp.sum(mer[:, 0], axis=0)
+    phi = (jnp.sum(mer[:, 1] + mer[:, 4] + mer[:, 5], axis=0)
+           + 0.5 * jnp.sum(eN * q_term, axis=0))
+    max_defect = jnp.max(mer[:, 3], axis=0)
+    min_con = jnp.min(mer[:, 2], axis=0)
+    return A, Bm, b, R_eff, q, r_eff, (theta, phi, max_defect, min_con)
 
 
 def linearize(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
@@ -439,17 +543,20 @@ def _sqp_step(params, weights, cfg, state, x0, x_ref, active):
         # separate merit sweep is run here.
         use_pallas = (_pallas_eligible(cfg, state.x.shape[0])
                       and cfg.refine == 0)
-        A, B, b, Q, S, R, q, r, aux = _linearize_soa(
-            params, weights, cfg, state, x_ref, build_QS=not use_pallas)
-        theta0, phi0, max_defect, min_con = aux
         dx0s = jnp.moveaxis(dx0, 0, -1)
         if use_pallas:
             from srbd_nmpc_tpu.ops import riccati_pallas
+            A, B, b, R, q, r, aux = _linearize_pallas(
+                params, weights, cfg, state, x_ref, block=cfg.pallas_block)
+            theta0, phi0, max_defect, min_con = aux
             x_s, u_s = riccati_pallas.lqr_solve_pallas(
                 A, B, b, (weights.Q, weights.Qf), R, q, r, dx0s,
-                reg=cfg.reg, block=256,
+                reg=cfg.reg, block=cfg.pallas_block,
             )
         else:
+            A, B, b, Q, S, R, q, r, aux = _linearize_soa(
+                params, weights, cfg, state, x_ref)
+            theta0, phi0, max_defect, min_con = aux
             x_s, u_s, _ = riccati_soa.lqr_solve(
                 A, B, b, Q, S, R, q, r, dx0s, reg=cfg.reg, refine=cfg.refine,
             )
@@ -466,18 +573,28 @@ def _sqp_step(params, weights, cfg, state, x0, x_ref, active):
         dphi = (jnp.sum(dx * qp.q, axis=(-2, -1))
                 + jnp.sum(du * qp.r, axis=(-2, -1)))
 
+    # non-finite merit or direction: the reference would throw inside HPIPM
+    # or stall silently (NMPC_solver.cpp:383-392); we flag NAN_DETECTED and
+    # let the caller freeze the scenario at its last finite iterate.
+    nan = jnp.logical_not(jnp.isfinite(theta0 + phi0 + dphi))
     if active is None:
         active = jnp.ones(theta0.shape, dtype=bool)
     new_state = _line_search(
-        params, weights, cfg, state, x_ref, dx, du, theta0, phi0, dphi, active
+        params, weights, cfg, state, x_ref, dx, du, theta0, phi0, dphi,
+        active & jnp.logical_not(nan)
     )
     converged = (dphi > cfg.conv_dphi) & (theta0 < cfg.conv_theta)
+    status = jnp.where(
+        converged, STATUS_SUCCESS,
+        jnp.where(nan, STATUS_NAN_DETECTED, STATUS_RUNNING),
+    ).astype(jnp.int32)
     info = NmpcInfo(
         converged=converged,
         sqp_iters=jnp.ones(theta0.shape, jnp.int32),
         theta=theta0, phi=phi0, dphi=dphi, alpha=new_state.alpha,
         max_defect=max_defect,
         min_constraint=min_con,
+        status=status,
     )
     return new_state, info
 
@@ -505,11 +622,11 @@ def _solve(params, weights, cfg, state, x0, x_ref):
 
     def cond(carry):
         _, info, it = carry
-        return (it < cfg.sqp_max_iter) & jnp.any(jnp.logical_not(info.converged))
+        return (it < cfg.sqp_max_iter) & jnp.any(info.status == STATUS_RUNNING)
 
     def body(carry):
         st, info, it = carry
-        act = jnp.logical_not(info.converged)
+        act = info.status == STATUS_RUNNING
         new_state, step = sqp_step(params, weights, cfg, st, x0, x_ref, active=act)
 
         def upd(new, old):
@@ -526,6 +643,7 @@ def _solve(params, weights, cfg, state, x0, x_ref):
             alpha=upd(st2.alpha, info.alpha),
             max_defect=upd(step.max_defect, info.max_defect),
             min_constraint=upd(step.min_constraint, info.min_constraint),
+            status=jnp.where(act, step.status, info.status),
         )
         return (st2, info2, it + 1)
 
@@ -535,9 +653,19 @@ def _solve(params, weights, cfg, state, x0, x_ref):
         theta=zeros + jnp.inf, phi=zeros + jnp.inf, dphi=zeros - jnp.inf,
         alpha=state.alpha,
         max_defect=zeros + jnp.inf, min_constraint=zeros - jnp.inf,
+        status=jnp.full(state.alpha.shape, STATUS_RUNNING, jnp.int32),
     )
     state_f, info_f, _ = lax.while_loop(
         cond, body, (state, dummy, jnp.asarray(0, jnp.int32))
+    )
+    # scenarios still RUNNING ran out of SQP iterations; those whose line
+    # search bottomed out report the stall distinctly (the silent-stall
+    # failure mode flagged in round 1: a NaN merit used to exhaust
+    # iterations indistinguishably from slow convergence).
+    stalled = (info_f.status == STATUS_RUNNING) & (info_f.alpha <= cfg.alpha_min)
+    info_f = dataclasses.replace(
+        info_f,
+        status=jnp.where(stalled, STATUS_MIN_STEP, info_f.status).astype(jnp.int32),
     )
     return state_f, info_f
 

@@ -76,6 +76,9 @@ def run_control_loop(opts: MpcOptions, batch: int = 1, dtype=jnp.float32,
         state_f, reps=nrep,
     )
 
+    # printOptimizationInfo analogue (NMPC_solver.cpp:113-141)
+    print(infos.pretty())
+
     n_conv = int(summary.n_converged)
     out = dict(
         nrep=nrep,

@@ -78,9 +78,9 @@ class OcpQp:
       C [N+1,ng,nx]  D [N,ng,nu]  lg/ug/lg_mask/ug_mask [N+1,ng]
     ``idxbx``/``idxbu`` are static index tuples (uniform across stages).
 
-    Ref fields: ocp_qp.hpp:15-177. Soft-constraint fields (Zl/Zu/zl/zu/
-    idxs/lls/lus) are not yet implemented (the reference NMPC, examples and
-    golden tests never exercise them); see ROADMAP in README.
+    Ref fields: ocp_qp.hpp:15-177, including the soft-constraint surface
+    (Zl/Zu/zl/zu/idxs/lls/lus — fields below, solved by ocpqp.ipm via
+    slack elimination, validated in tests/test_ipm_soft.py).
     """
 
     A: jnp.ndarray

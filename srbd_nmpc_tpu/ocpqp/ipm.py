@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from srbd_nmpc_tpu.ocpqp.data import OcpQp, OcpQpDims
-from srbd_nmpc_tpu.ocpqp.settings import IpmSettings, IpmStatus
+from srbd_nmpc_tpu.ocpqp.settings import IpmMode, IpmSettings, IpmStatus
 from srbd_nmpc_tpu.ocpqp.solution import OcpQpSolution
 from srbd_nmpc_tpu.ocpqp.statistics import IpmStatistics
 from srbd_nmpc_tpu.ops.riccati import (
@@ -524,6 +524,11 @@ def _ipm_solve(qp, x0, settings, warm_start):
         return {c: hist[c].at[i].set(vals.get(c, 0.0)) for c in stat_cols}
 
     def converged(it: _Iterate):
+        if settings.mode is IpmMode.SPEED_ABS:
+            # HPIPM abs_form semantics: exit on the absolute duality
+            # measure alone, no KKT residual test per iteration
+            # (d_ocp_qp_ipm_arg_set_default, ocp_qp_ipm_solver_settings.hpp:8-26).
+            return compute_mu(it) < settings.tol_comp
         _, (rs, re, ri, rc) = residual_norms(it)
         return ((rs < settings.tol_stat) & (re < settings.tol_eq)
                 & (ri < settings.tol_ineq) & (rc < settings.tol_comp))

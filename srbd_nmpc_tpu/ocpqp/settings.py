@@ -18,7 +18,15 @@ class IpmMode(enum.Enum):
 
     The presets fix default tolerances/mu0 the same way HPIPM's
     ``d_ocp_qp_ipm_arg_set_default`` does for each mode; explicit settings
-    fields always override the preset.
+    fields always override the preset. Two modes also change BEHAVIOR, as
+    in HPIPM:
+
+    - ``SPEED_ABS`` exits on the ABSOLUTE duality measure only
+      (``mu < tol_comp``), skipping the per-iteration KKT residual test —
+      HPIPM's ``abs_form`` fast path (``d_ocp_qp_ipm_arg_set_default``).
+    - ``ROBUST`` defaults to the square-root Riccati factorization
+      (``ric_alg=True``) and a larger primal regularization — HPIPM's
+      numerically conservative preset.
     """
 
     SPEED_ABS = "speed_abs"
@@ -50,7 +58,8 @@ _MODE_DEFAULTS = {
     IpmMode.BALANCE: dict(iter_max=30, mu0=1e1, tol_stat=1e-8, tol_eq=1e-8,
                           tol_ineq=1e-8, tol_comp=1e-8, pred_corr=True),
     IpmMode.ROBUST: dict(iter_max=100, mu0=1e2, tol_stat=1e-8, tol_eq=1e-8,
-                         tol_ineq=1e-8, tol_comp=1e-8, pred_corr=True),
+                         tol_ineq=1e-8, tol_comp=1e-8, pred_corr=True,
+                         ric_alg=True, reg_prim=1e-10),
 }
 
 

@@ -215,3 +215,35 @@ class TestWarmStart:
         assert int(st_w.status) == int(IpmStatus.SUCCESS)
         assert int(st_w.iter) <= int(st_c.iter) + 5, (int(st_w.iter), int(st_c.iter))
         np.testing.assert_allclose(sol_w.u, sol_c.u, atol=1e-6)
+
+
+class TestModeSemantics:
+    def test_speed_abs_exits_on_absolute_duality_measure(self):
+        """SPEED_ABS is HPIPM's abs_form: exit when mu < tol_comp alone,
+        no KKT-residual criteria (ocp_qp_ipm_solver_settings.hpp:8-26).
+        With a loose tol_comp and unreachable residual tolerances it must
+        exit in strictly fewer iterations than SPEED with the same
+        tolerances — in round 1 the modes only swapped defaults."""
+        from srbd_nmpc_tpu.ocpqp.settings import IpmMode
+
+        qp, x0 = constrained_random_qp()
+        common = dict(iter_max=40, mu0=1e1, tol_comp=1e-3,
+                      tol_stat=1e-14, tol_eq=1e-14, tol_ineq=1e-14)
+        s_abs = IpmSettings(mode=IpmMode.SPEED_ABS, **common)
+        s_rel = IpmSettings(mode=IpmMode.SPEED, **common)
+        sol_a, st_a = ipm_solve(qp, x0, s_abs)
+        sol_r, st_r = ipm_solve(qp, x0, s_rel)
+        assert int(st_a.status) == int(IpmStatus.SUCCESS)
+        # the abs-form exit fired before the (unreachable) residual test
+        assert int(st_a.iter) < int(st_r.iter)
+        # and the exit criterion is the duality measure itself
+        assert float(st_a.mu[int(st_a.iter)]) < 1e-3
+
+    def test_robust_preset_changes_algorithm(self):
+        from srbd_nmpc_tpu.ocpqp.settings import IpmMode
+
+        s = IpmSettings.preset(IpmMode.ROBUST)
+        assert s.ric_alg is True and s.iter_max == 100
+        qp, x0 = constrained_random_qp()
+        sol, st = ipm_solve(qp, x0, s)
+        assert int(st.status) == int(IpmStatus.SUCCESS)

@@ -47,7 +47,7 @@ def oracle():
         ctypes.POINTER(ctypes.c_double),
     ]
 
-    def solve(N=20, sqp_max_iter=15):
+    def solve(N=20, sqp_max_iter=15, x0=None):
         params = np.array([15.0, 0.015, 0.541667, 0.516667, 1.0416667,
                            0.0, -0.1, 0.0, 0.0, 0.1, 0.0, 0.1, 5.0])
         weights = np.concatenate([
@@ -55,7 +55,9 @@ def oracle():
             np.array([0.0001]),
             np.array([0.5, 0.5, 0.5, 0.01, 0.01, 0.01, 100, 100, 100, 0, 0, 100.0]),
         ])
-        x0 = np.zeros(12); x0[8] = 1.0
+        if x0 is None:
+            x0 = np.zeros(12); x0[8] = 1.0
+        x0 = np.ascontiguousarray(x0, dtype=np.float64)
         x_ref = np.zeros(12); x_ref[2] = 0.2; x_ref[6] = 0.5; x_ref[8] = 1.0
         x_out = np.zeros((N + 1) * 12)
         u_out = np.zeros(N * 12)
@@ -123,3 +125,50 @@ def test_f32_tpu_path_matches_native_oracle(oracle):
 
     err_u = np.max(np.abs(np.asarray(state_f.u, np.float64) - u_c))
     assert err_u / 100.0 < 1e-3, err_u
+
+
+def test_nonconvergence_is_algorithmic_not_f32(oracle):
+    """Pin the README claim (VERDICT r1 #6): the few % of perturbed-x0
+    scenarios that exhaust sqp_max_iter do so because of the ALGORITHM
+    (filter line search + persistent alpha on a hard x0), not f32
+    arithmetic. Run the f64 JAX engine and the independent f64 C++ oracle
+    over the same perturbed-x0 set the TPU benchmark uses (rng(0),
+    0.01-scale normal — bench.py) and require the non-converging sets to
+    substantially overlap."""
+    from srbd_nmpc_tpu.models import srbd
+    from srbd_nmpc_tpu.nmpc import engine
+
+    B = 256
+    cfg = engine.NmpcConfig(N=20, sqp_max_iter=15)
+    params = srbd.SRBDParams.create(dt=0.015, dtype=jnp.float64)
+    weights = engine.NmpcWeights.create(
+        [0] * 11 + [10], 1e-4,
+        [0.5, 0.5, 0.5, 0.01, 0.01, 0.01, 100, 100, 100, 0, 0, 100],
+        N=20, dtype=jnp.float64)
+    x0, x_ref = engine.make_benchmark_problem(cfg, jnp.float64)
+    rng = np.random.default_rng(0)
+    # exactly bench.py's x0 construction (first B of the 4096 batch)
+    x0s = np.asarray(x0)[None] + 0.01 * rng.normal(size=(4096, 12))
+    x0s = x0s[:B]
+
+    import jax
+    states = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape).copy(),
+        engine.NmpcState.initial(cfg.N, jnp.float64))
+    _, infos = jax.jit(engine.solve, static_argnums=(2,))(
+        params, weights, cfg, states, jnp.asarray(x0s), x_ref)
+    eng_nc = set(np.flatnonzero(~np.asarray(infos.converged)).tolist())
+
+    orc_nc = set()
+    for i in range(B):
+        ret, _, _, _ = oracle(x0=x0s[i])
+        if ret != 1:
+            orc_nc.add(i)
+
+    union = eng_nc | orc_nc
+    inter = eng_nc & orc_nc
+    if union:
+        jaccard = len(inter) / len(union)
+        assert jaccard >= 0.5, (sorted(eng_nc), sorted(orc_nc))
+    # sanity: the f64 engine's non-convergence rate is small, as claimed
+    assert len(eng_nc) <= 0.06 * B, len(eng_nc)

@@ -176,3 +176,54 @@ class TestLinearizeMeritFusion:
         np.testing.assert_allclose(mc, np.min(np.asarray(con), axis=(-2, -1)), rtol=1e-12)
         np.testing.assert_allclose(jnp.moveaxis(q, -1, 0), Jx, atol=1e-11)
         np.testing.assert_allclose(jnp.moveaxis(r, -1, 0), Ju, atol=1e-11)
+
+
+class TestFailureStatus:
+    def test_success_status_on_reference_problem(self):
+        params, weights, cfg, state, x0, x_ref = reference_setup()
+        _, info = engine.solve(params, weights, cfg, state, x0, x_ref)
+        assert int(info.status) == engine.STATUS_SUCCESS
+        assert bool(info.converged)
+
+    def test_nan_x0_reports_nan_detected(self):
+        """A NaN initial state must surface as STATUS_NAN_DETECTED — not
+        silently exhaust SQP iterations (the engine analogue of the
+        reference's try/catch, NMPC_solver.cpp:383-392) — and the returned
+        iterate must stay finite (frozen at the last good point)."""
+        params, weights, cfg, state, x0, x_ref = reference_setup()
+        x0_bad = x0.at[3].set(jnp.nan)
+        state_f, info = jax.jit(engine.solve, static_argnums=(2,))(
+            params, weights, cfg, state, x0_bad, x_ref
+        )
+        assert int(info.status) == engine.STATUS_NAN_DETECTED
+        assert not bool(info.converged)
+        # frozen after the first detection, no wasted iterations
+        assert int(info.sqp_iters) == 1
+        assert np.all(np.isfinite(np.asarray(state_f.x)))
+        assert np.all(np.isfinite(np.asarray(state_f.u)))
+
+    def test_batched_nan_scenario_does_not_poison_batch(self):
+        """One NaN scenario in a batch: it is flagged and frozen, the rest
+        converge exactly as they would alone."""
+        params, weights, cfg, state, x0, x_ref = reference_setup()
+        B = 4
+        states = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape).copy(), state
+        )
+        x0s = jnp.broadcast_to(x0, (B, 12)).at[1, 5].set(jnp.nan)
+        states_f, infos = jax.jit(engine.solve, static_argnums=(2,))(
+            params, weights, cfg, states, x0s, x_ref
+        )
+        stat = np.asarray(infos.status)
+        assert stat[1] == engine.STATUS_NAN_DETECTED
+        assert np.all(stat[[0, 2, 3]] == engine.STATUS_SUCCESS)
+        assert np.all(np.isfinite(np.asarray(states_f.x)))
+        # healthy scenarios match the clean single solve
+        s_ref, _ = engine.solve(params, weights, cfg, state, x0, x_ref)
+        np.testing.assert_allclose(states_f.u[0], s_ref.u, rtol=0, atol=1e-12)
+
+    def test_pretty_report(self):
+        params, weights, cfg, state, x0, x_ref = reference_setup()
+        _, info = engine.solve(params, weights, cfg, state, x0, x_ref)
+        rep = info.pretty()
+        assert "SUCCESS" in rep and "theta" in rep and "sqp_loop" in rep

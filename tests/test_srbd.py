@@ -225,3 +225,93 @@ class TestBatching:
         np.testing.assert_allclose(
             dxs[3], srbd.continuous_dynamics(params, xs[3], us[3]), atol=1e-12
         )
+
+
+class TestRotatedFootConstraints:
+    """Non-identity foot rotation coverage for GetConstrain parity
+    (SRBD_model.cpp:244-257): the ZMP/yaw/roll torque rows are built from
+    the foot rotation's columns; round 1 only ever exercised R = I."""
+
+    def _rotated_params(self, seed=3):
+        import dataclasses as dc
+        rng = np.random.default_rng(seed)
+        p = srbd.SRBDParams.create(dtype=jnp.float64)
+        rots = so3.expm(jnp.asarray(rng.uniform(-1.0, 1.0, size=(2, 3))))
+        return dc.replace(p, foot_rot=rots), np.asarray(rots)
+
+    def test_manual_construction_rotated(self):
+        params, R = self._rotated_params()
+        Ac, bc = srbd.constraint_matrix(params)
+        Ac, bc = np.asarray(Ac), np.asarray(bc)
+        mu, lfx, lfz, fmax, fmin = 0.5, 0.05, 0.05, 1000.0, 0.0
+        want = np.zeros((24, 12))
+        want_b = np.zeros(24)
+        for leg in range(2):
+            c = 6 * leg
+            r0 = 12 * leg
+            rx, ry, rz = R[leg][:, 0], R[leg][:, 1], R[leg][:, 2]
+            want[r0 + 0, c:c + 3] = [-1, 0, mu]
+            want[r0 + 1, c:c + 3] = [0, -1, mu]
+            want[r0 + 2, c:c + 3] = [1, 0, mu]
+            want[r0 + 3, c:c + 3] = [0, 1, mu]
+            want[r0 + 4, c:c + 3] = [0, 0, -1]
+            want[r0 + 5, c:c + 3] = [0, 0, 1]
+            want[r0 + 6, c:c + 3] = lfx * rz; want[r0 + 6, c + 3:c + 6] = -ry
+            want[r0 + 7, c:c + 3] = lfx * rz; want[r0 + 7, c + 3:c + 6] = ry
+            want[r0 + 8, c:c + 3] = lfz * rz; want[r0 + 8, c + 3:c + 6] = -rz
+            want[r0 + 9, c:c + 3] = lfz * rz; want[r0 + 9, c + 3:c + 6] = rz
+            want[r0 + 10, c + 3:c + 6] = -rx
+            want[r0 + 11, c + 3:c + 6] = rx
+            want_b[r0 + 4] = fmax
+            want_b[r0 + 5] = -fmin
+        np.testing.assert_allclose(Ac, want, atol=1e-14)
+        np.testing.assert_allclose(bc, want_b, atol=1e-14)
+
+    def test_zmp_frame_covariance(self):
+        """The torque parts of the ZMP/yaw/roll rows project tau onto the
+        FOOT frame axes: for torque tau = R @ t_local the rotated-foot row
+        values must equal the identity-foot row values at t_local (force
+        rows differ only through the rz lever arm)."""
+        params_r, R = self._rotated_params()
+        params_i = srbd.SRBDParams.create(dtype=jnp.float64)
+        rng = np.random.default_rng(11)
+        t_local = rng.uniform(-1, 1, size=(2, 3))
+        u_rot = np.zeros(12)
+        u_id = np.zeros(12)
+        for leg in range(2):
+            u_rot[6 * leg + 3: 6 * leg + 6] = R[leg] @ t_local[leg]
+            u_id[6 * leg + 3: 6 * leg + 6] = t_local[leg]
+        vr = np.asarray(srbd.constraint_values(params_r, jnp.asarray(u_rot)))
+        vi = np.asarray(srbd.constraint_values(params_i, jnp.asarray(u_id)))
+        # pure-torque input: ZMP/yaw/roll rows (6..11 per leg) see only the
+        # tau projection, which is frame-covariant
+        for leg in range(2):
+            r0 = 12 * leg
+            np.testing.assert_allclose(vr[r0 + 6: r0 + 12],
+                                       vi[r0 + 6: r0 + 12], atol=1e-12)
+
+    def test_nmpc_converges_with_rotated_feet(self):
+        """End-to-end: the SQP engine still converges on the stance problem
+        when both feet are yawed 20 degrees (exercises the rotated rows in
+        the barrier Hessian path)."""
+        import dataclasses as dc
+        from srbd_nmpc_tpu.nmpc import engine
+
+        cfg = engine.NmpcConfig(N=20, sqp_max_iter=15)
+        p = srbd.SRBDParams.create(dt=0.015, dtype=jnp.float64)
+        yaw = so3.expm(jnp.asarray([0.0, 0.0, 0.35]))
+        p = dc.replace(p, foot_rot=jnp.stack([yaw, yaw]))
+        weights = engine.NmpcWeights.create(
+            Q_diag=[0] * 11 + [10], R_scalar=1e-4,
+            Qf_diag=[0.5] * 3 + [0.01] * 3 + [100.0] * 3 + [0, 0, 100.0],
+            N=cfg.N, dtype=jnp.float64,
+        )
+        x0, x_ref = engine.make_benchmark_problem(cfg, jnp.float64)
+        state = engine.NmpcState.initial(cfg.N, jnp.float64)
+        _, info = engine.solve(p, weights, cfg, state, x0, x_ref)
+        assert bool(info.converged), (float(info.theta), float(info.dphi))
+        # (no min_constraint >= 0 assertion: the relaxed log barrier is a
+        # penalty, and yawed feet make the roll-torque rows |rx.tau| <= 0
+        # compete with tracking — bounded violation is the correct
+        # trade-off, exactly as in the reference's Barrier formulation)
+        assert np.isfinite(float(info.min_constraint))

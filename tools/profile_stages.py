@@ -73,13 +73,24 @@ def main():
             return acc + out[2][0, 0, 0] * 1e-20
         return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0, dtype))
 
-    # --- stage: Riccati pallas ---
+    # --- stage: fused Pallas linearize (+merit partials) ---
     @jax.jit
-    def ric_loop(A, Bm, b, Q, R, q, r, dx0s):
+    def lin_pallas_loop(state, x_ref):
+        def body(i, acc):
+            with jax.default_matmul_precision("float32"):
+                st = engine.NmpcState(x=state.x + acc * 0, u=state.u, alpha=state.alpha)
+                out = engine._linearize_pallas(params, weights, cfg, st, x_ref)
+            return acc + out[2][0, 0, 0] * 1e-20
+        return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0, dtype))
+
+    # --- stage: Riccati pallas (const-Q variant, the engine's path) ---
+    @jax.jit
+    def ric_loop(A, Bm, b, R, q, r, dx0s):
         def body(i, acc):
             with jax.default_matmul_precision("float32"):
                 x_s, u_s = riccati_pallas.lqr_solve_pallas(
-                    A, Bm, b + acc * 0, Q, R, q, r, dx0s, reg=1e-9, block=256)
+                    A, Bm, b + acc * 0, (weights.Q, weights.Qf), R, q, r,
+                    dx0s, reg=1e-9, block=256)
             return acc + u_s[0, 0, 0] * 1e-20
         return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0, dtype))
 
@@ -121,7 +132,8 @@ def main():
 
     print(f"batch={B} reps={reps} backend={jax.default_backend()}")
     t_lin = timed("linearize_soa (+merit aux)", lambda: lin_loop(state, x_ref), reps)
-    t_ric = timed("riccati lqr_solve_pallas", lambda: ric_loop(A, Bm, b, Q, R, q, r, dx0s), reps)
+    t_linp = timed("linearize_pallas (fused)", lambda: lin_pallas_loop(state, x_ref), reps)
+    t_ric = timed("riccati lqr_solve_pallas", lambda: ric_loop(A, Bm, b, R, q, r, dx0s), reps)
     t_mer = timed("merit_pallas (line-search eval)", lambda: merit_loop(xs_t, us_t, xr_t), reps)
     t_stp = timed("full sqp_step", lambda: step_loop(state, x0s, x_ref), reps)
     t0 = time.perf_counter()
