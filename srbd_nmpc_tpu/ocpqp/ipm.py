@@ -50,7 +50,7 @@ from srbd_nmpc_tpu.ops.riccati import (
     kkt_residuals,
     lqr_solve,
     riccati_factorize,
-    riccati_factorize_sqrt,
+    riccati_factorize_sqrt_con,
     riccati_solve_vectors,
 )
 
@@ -246,7 +246,6 @@ def ipm_solve(
 
 
 def _ipm_solve(qp, x0, settings, warm_start):
-    factorize = riccati_factorize_sqrt if settings.ric_alg else riccati_factorize
     dims = qp.dims
     dtype = qp.A.dtype
     iter_max = settings.iter_max
@@ -276,6 +275,27 @@ def _ipm_solve(qp, x0, settings, warm_start):
     n_act = (jnp.sum(con.mask_l) + jnp.sum(con.mask_u)
              + jnp.sum(con.soft_l) + jnp.sum(con.soft_u))
     n_act = jnp.maximum(n_act, 1.0)
+
+    def factorize_aug(W):
+        """Riccati factorization of the W-augmented stage Hessians.
+
+        ``ric_alg`` selects the structured square-root recursion, which
+        takes (base cost, constraint rows, W) and never forms the
+        augmented Hessian — the generic sqrt factorization's Schur
+        complement catastrophically cancels at near-convergence weights
+        (W ~ 1/mu ~ 1e12) and NaNs. Classical forms the augmentation
+        explicitly (cheaper; additions only, so no cancellation there).
+        """
+        if settings.ric_alg:
+            return riccati_factorize_sqrt_con(
+                qp.A, qp.B, qp.Q, qp.S, qp.R, con.Gx, con.Gu, W,
+                reg=settings.reg_prim)
+        Q_aug = qp.Q + jnp.einsum("nmi,nm,nmj->nij", con.Gx, W, con.Gx)
+        Gu_w = con.Gu[:-1]
+        R_aug = qp.R + jnp.einsum("nmi,nm,nmj->nij", Gu_w, W[:-1], Gu_w)
+        S_aug = qp.S + jnp.einsum("nmi,nm,nmj->nij", Gu_w, W[:-1], con.Gx[:-1])
+        return riccati_factorize(qp.A, qp.B, Q_aug, S_aug, R_aug,
+                                 reg=settings.reg_prim)
 
     # --- initialization -----------------------------------------------------
     warm = settings.warm_start and warm_start is not None
@@ -427,13 +447,7 @@ def _ipm_solve(qp, x0, settings, warm_start):
         # slack-eliminated Hessian augmentation (soft rows use the series
         # combination weight)
         _, _, _, _, w_eff_l, w_eff_u = soft_weights(it)
-        W = w_eff_l + w_eff_u
-        Q_aug = qp.Q + jnp.einsum("nmi,nm,nmj->nij", con.Gx, W, con.Gx)
-        Gu_w = con.Gu[:-1]
-        R_aug = qp.R + jnp.einsum("nmi,nm,nmj->nij", Gu_w, W[:-1], Gu_w)
-        S_aug = qp.S + jnp.einsum("nmi,nm,nmj->nij", Gu_w, W[:-1], con.Gx[:-1])
-        fac = factorize(qp.A, qp.B, Q_aug, S_aug, R_aug,
-                        reg=settings.reg_prim)
+        fac = factorize_aug(w_eff_l + w_eff_u)
 
         # predictor (affine): complementarity rhs = lam*s (sigma = 0)
         rc_aff = (it.ll * it.sl * con.mask_l,
@@ -573,15 +587,10 @@ def _ipm_solve(qp, x0, settings, warm_start):
     # returns the last iteration's ric quantities; we refresh them at the
     # final iterate's augmentation for a consistent (P, K, k, p) surface)
     _, _, _, _, w_eff_l_f, w_eff_u_f = soft_weights(it_f)
-    W = w_eff_l_f + w_eff_u_f
-    Q_aug = qp.Q + jnp.einsum("nmi,nm,nmj->nij", con.Gx, W, con.Gx)
-    Gu_w = con.Gu[:-1]
-    R_aug = qp.R + jnp.einsum("nmi,nm,nmj->nij", Gu_w, W[:-1], Gu_w)
-    S_aug = qp.S + jnp.einsum("nmi,nm,nmj->nij", Gu_w, W[:-1], con.Gx[:-1])
     lam = it_f.lu * con.mask_u - it_f.ll * con.mask_l
     q_aug = qp.q + jnp.einsum("nmj,nm->nj", con.Gx, lam)
     r_aug = qp.r + jnp.einsum("nmj,nm->nj", con.Gu, lam)[:-1]
-    fac_f = factorize(qp.A, qp.B, Q_aug, S_aug, R_aug, settings.reg_prim)
+    fac_f = factorize_aug(w_eff_l_f + w_eff_u_f)
     _, _, _, p_f, k_f = riccati_solve_vectors(
         fac_f, qp.A, qp.B, qp.b, q_aug, r_aug, x0
     )

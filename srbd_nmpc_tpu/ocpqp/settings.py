@@ -70,8 +70,10 @@ class IpmSettings:
     Field-for-field parity with the reference struct
     (ocp_qp_ipm_solver_settings.hpp:21-91). ``ric_alg`` selects between the
     classical (False) and square-root (True) Riccati factorization, as in
-    HPIPM; both produce the same solution, the classical one is the default
-    used by the reference NMPC (NMPC_solver.cpp:81).
+    HPIPM; both produce the same solution. The classical one is the
+    default, matching the reference NMPC (ric_alg=0, NMPC_solver.cpp:81);
+    the square-root path runs the structured pre-array recursion
+    (ops.riccati.riccati_factorize_sqrt_con) inside the constrained IPM.
     """
 
     mode: IpmMode = IpmMode.SPEED
@@ -85,7 +87,7 @@ class IpmSettings:
     reg_prim: float = 1.0e-12
     warm_start: bool = False
     pred_corr: bool = True
-    ric_alg: bool = True
+    ric_alg: bool = False
     split_step: bool = False
 
     @staticmethod

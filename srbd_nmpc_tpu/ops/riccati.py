@@ -154,13 +154,26 @@ def riccati_factorize_sqrt(
     reg_eye_u = jnp.asarray(reg, dtype) * jnp.eye(nu, dtype=dtype)
     reg_eye_x = jnp.asarray(reg, dtype) * jnp.eye(nx, dtype=dtype)
 
+    eps = jnp.finfo(dtype).eps
+
     def step(Lp_next, stage):
         A_i, B_i, Q_i, S_i, R_i = stage
         Lr = jnp.linalg.cholesky(R_i + reg_eye_u)
         Sw = jax.scipy.linalg.solve_triangular(Lr, S_i, lower=True)
         Qbar = Q_i - Sw.T @ Sw
         Qbar = 0.5 * (Qbar + Qbar.T) + reg_eye_x
-        Lq = jnp.linalg.cholesky(Qbar)
+        # The Schur complement is PSD in exact arithmetic but can go
+        # (slightly) indefinite to cancellation when S couples huge
+        # IPM-augmentation weights (w ~ lam/s -> 1e12 near convergence),
+        # which NaNs the Cholesky. Keep the exact factor when it is
+        # finite; otherwise retry once with a relative-scale jitter —
+        # the accuracy loss (~eps * ||S'R^-1 S||) is already intrinsic
+        # to the Schur form at that conditioning.
+        Lq0 = jnp.linalg.cholesky(Qbar)
+        scale = jnp.maximum(jnp.max(jnp.abs(Qbar)), 1.0)
+        Lq1 = jnp.linalg.cholesky(
+            Qbar + (1024.0 * eps * scale) * jnp.eye(nx, dtype=dtype))
+        Lq = jnp.where(jnp.all(jnp.isfinite(Lq0)), Lq0, Lq1)
         LptB = Lp_next.T @ B_i
         LptA = Lp_next.T @ A_i
         M = jnp.block([
@@ -191,6 +204,75 @@ def riccati_factorize_sqrt(
         step, Lp_N, (A, B, Q[:-1], S, R), reverse=True
     )
     P = jnp.concatenate([P_rest, Q_N[None]], axis=0)
+    return RiccatiFactors(P=P, K=K, L=L, H=H)
+
+
+def riccati_factorize_sqrt_con(
+    A: jnp.ndarray, B: jnp.ndarray, Q: jnp.ndarray, S: jnp.ndarray,
+    R: jnp.ndarray, Gx: jnp.ndarray, Gu: jnp.ndarray, W: jnp.ndarray,
+    reg: float = 0.0,
+) -> RiccatiFactors:
+    """Structured square-root Riccati for IPM-augmented Hessians.
+
+    The IPM stage Hessian is the base cost plus a slack-elimination term:
+    ``[[R,S],[S',Q]] + [Gu Gx]' diag(W) [Gu Gx]`` with W = lam/s growing
+    like 1/mu near convergence (1e12+). Factorizing the *formed* augmented
+    Hessian with the generic ``riccati_factorize_sqrt`` requires the Schur
+    complement Q_aug - S_aug' R_aug^-1 S_aug, which catastrophically
+    cancels at that conditioning (observed NaN at the converged iterate).
+    This variant never forms the augmentation: the QR pre-array stacks
+
+        [ Lj'            ]   Lj = chol of the base [[R,S],[S',Q]] (+reg)
+        [ sqrt(W)[Gu Gx] ]   constraint rows, one per inequality
+        [ Lp'[B  A]      ]   cost-to-go rows
+
+    — every row block contributes a PSD term, so T'T = [[G,H],[H',F]]
+    holds without any subtraction, and P propagates as its triangular
+    factor T22. This is the numerically robust backbone of IpmMode.ROBUST
+    (HPIPM's ric_alg=1 square-root recursion, ocp_qp_ipm_solver_settings
+    .hpp:79-81, built for the slack-augmented KKT systems it actually
+    factorizes).
+
+    Shapes: Gx [N+1,m,nx], Gu [N+1,m,nu] (terminal u rows must be zero),
+    W [N+1,m] >= 0. Returns the standard ``RiccatiFactors``.
+    """
+    nx, nu = A.shape[-1], B.shape[-1]
+    dtype = A.dtype
+    reg_eye_j = jnp.asarray(reg, dtype) * jnp.eye(nu + nx, dtype=dtype)
+    reg_eye_x = jnp.asarray(reg, dtype) * jnp.eye(nx, dtype=dtype)
+    m = Gx.shape[-2]
+
+    def step(Lp_next, stage):
+        A_i, B_i, Q_i, S_i, R_i, Gx_i, Gu_i, W_i = stage
+        J = jnp.block([[R_i, S_i], [S_i.T, Q_i]])
+        J = 0.5 * (J + J.T) + reg_eye_j
+        Lj = jnp.linalg.cholesky(J)
+        sqw = jnp.sqrt(jnp.maximum(W_i, 0.0))[:, None]
+        M = jnp.concatenate([
+            Lj.T,
+            jnp.concatenate([sqw * Gu_i, sqw * Gx_i], axis=1),
+            jnp.concatenate([Lp_next.T @ B_i, Lp_next.T @ A_i], axis=1),
+        ], axis=0)
+        T = jnp.linalg.qr(M, mode="r")
+        T11 = T[:nu, :nu]
+        T12 = T[:nu, nu:]
+        T22 = T[nu:, nu:]
+        # row signs from QR are arbitrary but cancel in every derived
+        # quantity: K = -T11^-1 T12, G = T11'T11, H = T11'T12, P = T22'T22
+        K = -jax.scipy.linalg.solve_triangular(T11, T12, lower=False)
+        P = T22.T @ T22
+        return T22.T, (P, K, T11.T, T11.T @ T12)
+
+    # terminal: P_N = Q_N + Gx_N' W_N Gx_N — a sum of PSD terms
+    sqwN = jnp.sqrt(jnp.maximum(W[-1], 0.0))[:, None]
+    GN = sqwN * Gx[-1]
+    P_N = 0.5 * (Q[-1] + Q[-1].T) + GN.T @ GN
+    Lp_N = jnp.linalg.cholesky(P_N + reg_eye_x)
+    _, (P_rest, K, L, H) = lax.scan(
+        step, Lp_N, (A, B, Q[:-1], S, R, Gx[:-1], Gu[:-1], W[:-1]),
+        reverse=True,
+    )
+    P = jnp.concatenate([P_rest, P_N[None]], axis=0)
     return RiccatiFactors(P=P, K=K, L=L, H=H)
 
 

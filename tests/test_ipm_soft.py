@@ -19,8 +19,13 @@ from srbd_nmpc_tpu.ocpqp.settings import IpmSettings, IpmStatus
 
 from test_riccati import numpy_riccati, random_qp
 
+# ric_alg=True: the extended-input hard reformulation below drives slack
+# weights past 1/eps (W ~ 1e16 at tol 1e-9), where the classical
+# augmented-Hessian factorization numerically swallows the base cost and
+# stalls; the structured square-root recursion keeps the contributions
+# separate and converges — exactly the regime HPIPM's ric_alg=1 exists for.
 SET = IpmSettings(iter_max=50, mu0=1e1, tol_stat=1e-9, tol_eq=1e-9,
-                  tol_ineq=1e-9, tol_comp=1e-9)
+                  tol_ineq=1e-9, tol_comp=1e-9, ric_alg=True)
 
 
 def base_with_ubound(N=8, bound_gap=0.5, seed=21):
