@@ -9,8 +9,9 @@ line search, up to 15 iterations) from the reference's cold initialization
 ``vs_baseline`` is value / 1e4 (the driver's v5e target; the reference
 itself publishes no numbers — BASELINE.md).
 
-Env knobs: BENCH_BATCH (default 1024), BENCH_REPS (default 20),
-BENCH_REFINE (default 0; the fused Pallas QP kernel path).
+Env knobs: BENCH_BATCH (default 16384 — throughput saturates there:
+49.9k/59.5k/64.9k/66.5k solves/s at 4k/8k/16k/32k), BENCH_REPS (default
+20), BENCH_REFINE (default 0; the fused Pallas QP kernel path).
 """
 
 import json
@@ -57,7 +58,7 @@ def parity_gate(params, weights, cfg, x_ref, dtype, B: int = 512) -> float:
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    batch = int(os.environ.get("BENCH_BATCH", "16384"))
     reps = int(os.environ.get("BENCH_REPS", "20"))
     refine = int(os.environ.get("BENCH_REFINE", "0"))
 

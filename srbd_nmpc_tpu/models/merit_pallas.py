@@ -33,6 +33,30 @@ def _kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref, Qw_ref,
             Qf_ref, x_ref, xn_ref, u_ref, xr_ref, xrN_ref,
             theta_ref, phi_ref, Jx_ref, Ju_ref, maxdef_ref, mincon_ref,
             acc_scr, mu_b: float, theta_b: float, N: int):
+    _merit_stage(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
+                 Qw_ref, Qf_ref, x_ref, xn_ref, u_ref, xr_ref, xrN_ref,
+                 theta_ref, phi_ref, Jx_ref, Ju_ref, maxdef_ref, mincon_ref,
+                 acc_scr, mu_b, theta_b, N)
+
+
+def _kernel_nograd(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
+                   Qw_ref, Qf_ref, x_ref, xn_ref, u_ref, xr_ref, xrN_ref,
+                   theta_ref, phi_ref, maxdef_ref, mincon_ref,
+                   acc_scr, mu_b: float, theta_b: float, N: int):
+    """Line-search variant: merits/diagnostics only — the per-stage
+    gradient tensors (8 MB per call at B=4096) are neither computed nor
+    written. The line search never uses gradients (dphi comes from the
+    linearization byproducts of the PREVIOUS point)."""
+    _merit_stage(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
+                 Qw_ref, Qf_ref, x_ref, xn_ref, u_ref, xr_ref, xrN_ref,
+                 theta_ref, phi_ref, None, None, maxdef_ref, mincon_ref,
+                 acc_scr, mu_b, theta_b, N)
+
+
+def _merit_stage(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref, Qw_ref,
+                 Qf_ref, x_ref, xn_ref, u_ref, xr_ref, xrN_ref,
+                 theta_ref, phi_ref, Jx_ref, Ju_ref, maxdef_ref, mincon_ref,
+                 acc_scr, mu_b: float, theta_b: float, N: int):
     g = pl.program_id(1)
     dtype = x_ref.dtype
     block = x_ref.shape[-1]
@@ -87,8 +111,9 @@ def _kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref, Qw_ref,
     mc = jnp.minimum(sm.row(acc, 3), jnp.min(con, axis=0))
     acc_scr[...] = jnp.stack([th, ph, md, mc])
 
-    Jx_ref[...] = Qx[None]
-    Ju_ref[...] = (sm.mtv(Ac_b, db) + Ru)[None]
+    if Jx_ref is not None:
+        Jx_ref[...] = Qx[None]
+        Ju_ref[...] = (sm.mtv(Ac_b, db) + Ru)[None]
 
     @pl.when(g == N - 1)
     def _():
@@ -107,11 +132,13 @@ def merit_pallas(
     params: SRBDParams, Q_w: jnp.ndarray, Qf_w: jnp.ndarray, R_w: jnp.ndarray,
     Ac: jnp.ndarray, bc: jnp.ndarray,
     x: jnp.ndarray, u: jnp.ndarray, xr: jnp.ndarray,
-    mu_b: float, theta_b: float, block: int = 256,
+    mu_b: float, theta_b: float, block: int = 256, with_grad: bool = True,
 ) -> Tuple[jnp.ndarray, ...]:
     """Fused merit. Stage-major SoA inputs: x [N+1,12,Bt], u [N,12,Bt],
     xr [N+1,12,Bt]. Returns (theta [Bt], phi [Bt], Jphi_x [N+1,12,Bt],
-    Jphi_u [N,12,Bt], max_defect [Bt], min_con [Bt])."""
+    Jphi_u [N,12,Bt], max_defect [Bt], min_con [Bt]); with
+    ``with_grad=False`` the gradient outputs are skipped entirely
+    (returned as None) — the line-search fast path."""
     Np1, _, Bt = x.shape
     N = Np1 - 1
     assert Bt % block == 0
@@ -138,24 +165,21 @@ def merit_pallas(
         pl.BlockSpec((1, NX, block), lambda i, g: (N, 0, i)),  # xr_N
     ]
     scalar_spec = pl.BlockSpec((1, block), lambda i, g: (0, i))
-    out_specs = [
-        scalar_spec,
-        scalar_spec,
+    grad_specs = [
         pl.BlockSpec((1, NX, block), sv_),
         pl.BlockSpec((1, NU, block), sv_),
-        scalar_spec,
-        scalar_spec,
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((1, Bt), dtype),
-        jax.ShapeDtypeStruct((1, Bt), dtype),
+    ] if with_grad else []
+    grad_shapes = [
         jax.ShapeDtypeStruct((N, NX, Bt), dtype),   # running-stage grads
         jax.ShapeDtypeStruct((N, NU, Bt), dtype),
-        jax.ShapeDtypeStruct((1, Bt), dtype),
-        jax.ShapeDtypeStruct((1, Bt), dtype),
-    ]
-    theta, phi, Jx_run, Ju, maxdef, mincon = pl.pallas_call(
-        functools.partial(_kernel, mu_b=mu_b, theta_b=theta_b, N=N),
+    ] if with_grad else []
+    out_specs = ([scalar_spec, scalar_spec] + grad_specs
+                 + [scalar_spec, scalar_spec])
+    out_shape = ([jax.ShapeDtypeStruct((1, Bt), dtype)] * 2 + grad_shapes
+                 + [jax.ShapeDtypeStruct((1, Bt), dtype)] * 2)
+    kernel = _kernel if with_grad else _kernel_nograd
+    outs = pl.pallas_call(
+        functools.partial(kernel, mu_b=mu_b, theta_b=theta_b, N=N),
         grid=(Bt // block, N),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -169,9 +193,14 @@ def merit_pallas(
       R_w.astype(dtype), Q_w.astype(dtype), Qf_w.astype(dtype),
       x, x, u, xr, xr)
 
+    sq = lambda z: jnp.squeeze(z, 0)
+    if not with_grad:
+        theta, phi, maxdef, mincon = outs
+        return sq(theta), sq(phi), None, None, sq(maxdef), sq(mincon)
+    theta, phi, Jx_run, Ju, maxdef, mincon = outs
+
     # terminal gradient row (tiny; XLA)
     eN = x[-1] - xr[-1]
     JxN = sm.mv(Qf_w[..., None], eN)
     Jx = jnp.concatenate([Jx_run, JxN[None]], axis=0)
-    sq = lambda z: jnp.squeeze(z, 0)
     return sq(theta), sq(phi), Jx, Ju, sq(maxdef), sq(mincon)

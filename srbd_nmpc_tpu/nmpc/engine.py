@@ -381,25 +381,18 @@ def _linearize_soa(params: srbd.SRBDParams, weights: NmpcWeights,
     return A, Bm, b, Q, S, R_eff, q, r_eff, aux
 
 
-def _linearize_pallas(params: srbd.SRBDParams, weights: NmpcWeights,
-                      cfg: NmpcConfig, state: NmpcState, x_ref: jnp.ndarray,
-                      block: int = 256):
-    """Fused Pallas linearization: one kernel per (scenario-block, stage)
-    evaluates the whole prepareQpStructures stage math plus the
-    current-point merit partials (models/srbd_pallas.py), so the
-    [N,12,12,B] Jacobian tensors are written to HBM exactly once and no
-    separate XLA linearize/merit sweeps run. Same contract as
-    ``_linearize_soa(..., build_QS=False)``: returns
-    (A, B, b, R_eff, q, r_eff, aux)."""
+def _linearize_pallas_soa(params: srbd.SRBDParams, weights: NmpcWeights,
+                          cfg: NmpcConfig, xa: jnp.ndarray, us: jnp.ndarray,
+                          xra: jnp.ndarray, block: int = 256):
+    """Fused Pallas linearization, SoA in/out: one kernel per
+    (scenario-block, stage) evaluates the whole prepareQpStructures stage
+    math plus the current-point merit partials (models/srbd_pallas.py), so
+    the [N,12,12,B] Jacobian tensors are written to HBM exactly once and
+    no separate XLA linearize/merit sweeps run. Inputs xa [N+1,12,B],
+    us [N,12,B], xra [N+1,12,B]; returns (A, B, b, R_eff, q, r_eff, aux)
+    with aux = (theta, phi, max|defect|, min constraint), all [B]."""
     from srbd_nmpc_tpu.models import srbd_pallas
 
-    Bn = state.x.shape[0]
-    xa = jnp.transpose(state.x, (1, 2, 0))            # [N+1, 12, B]
-    us = jnp.transpose(state.u, (1, 2, 0))            # [N, 12, B]
-    if x_ref.ndim == 2:
-        xra = jnp.broadcast_to(x_ref[:, :, None], (cfg.N + 1, srbd.NX, Bn))
-    else:
-        xra = jnp.transpose(x_ref, (1, 2, 0))
     Ac, bc = srbd.constraint_matrix(params)
     A, Bm, b, q_run, r_eff, R_eff, mer = srbd_pallas.linearize_pallas(
         params, weights.Q, weights.R, Ac, bc,
@@ -417,6 +410,20 @@ def _linearize_pallas(params: srbd.SRBDParams, weights: NmpcWeights,
     max_defect = jnp.max(mer[:, 3], axis=0)
     min_con = jnp.min(mer[:, 2], axis=0)
     return A, Bm, b, R_eff, q, r_eff, (theta, phi, max_defect, min_con)
+
+
+def _linearize_pallas(params: srbd.SRBDParams, weights: NmpcWeights,
+                      cfg: NmpcConfig, state: NmpcState, x_ref: jnp.ndarray,
+                      block: int = 256):
+    """AoS-state wrapper around ``_linearize_pallas_soa`` (tests/tools)."""
+    Bn = state.x.shape[0]
+    xa = jnp.transpose(state.x, (1, 2, 0))            # [N+1, 12, B]
+    us = jnp.transpose(state.u, (1, 2, 0))            # [N, 12, B]
+    if x_ref.ndim == 2:
+        xra = jnp.broadcast_to(x_ref[:, :, None], (cfg.N + 1, srbd.NX, Bn))
+    else:
+        xra = jnp.transpose(x_ref, (1, 2, 0))
+    return _linearize_pallas_soa(params, weights, cfg, xa, us, xra, block)
 
 
 def linearize(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
@@ -521,6 +528,131 @@ def _line_search(params, weights, cfg, state: NmpcState, x_ref,
     return NmpcState(x=x_new, u=u_new, alpha=alpha_f)
 
 
+def _accept(cfg: NmpcConfig, theta_a, phi_a, alpha, theta0, phi0, dphi):
+    """Filter acceptance 3-case rule (NMPC_solver.cpp:200-264)."""
+    case_infeasible = theta_a > cfg.theta_max
+    acc_infeasible = theta_a < (1.0 - cfg.beta_theta) * theta0
+    case_small = (jnp.maximum(theta_a, theta0) < cfg.theta_min) & (dphi < 0.0)
+    acc_small = phi_a < phi0 + cfg.eta * alpha * dphi
+    acc_mixed = (phi_a < phi0 - cfg.beta_phi * theta0) | (
+        theta_a < (1.0 - cfg.beta_theta) * theta0
+    )
+    return jnp.where(
+        case_infeasible, acc_infeasible, jnp.where(case_small, acc_small, acc_mixed)
+    )
+
+
+def _merit_soa(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
+               xa: jnp.ndarray, us: jnp.ndarray, xra: jnp.ndarray):
+    """(theta, phi) [B] at an SoA iterate (xa [N+1,12,B], us [N,12,B]) —
+    the XLA fallback for the line-search candidate evaluation; the Pallas
+    path goes through models/merit_pallas directly (same layout)."""
+    x_in = jnp.moveaxis(xa[:-1], 1, 0)                 # [12, N, B]
+    x_nx = jnp.moveaxis(xa[1:], 1, 0)
+    u_in = jnp.moveaxis(us, 1, 0)
+    d = x_nx - srbd_soa.rk4(params, x_in, u_in)        # [12, N, B]
+    theta = 0.5 * jnp.sum(d * d, axis=(0, 1))
+
+    ex = xa - xra                                      # [N+1, 12, B]
+    Qe = jnp.einsum("ij,njb->nib", weights.Q, ex[:-1])
+    phi_x = 0.5 * jnp.sum(ex[:-1] * Qe, axis=(0, 1))
+    eN = ex[-1]
+    QfeN = jnp.einsum("ij,jb->ib", weights.Qf, eN)
+    phi_N = 0.5 * jnp.sum(eN * QfeN, axis=0)
+
+    Ac, bc = srbd.constraint_matrix(params)
+    con = jnp.einsum("gi,nib->ngb", Ac, us) + bc[:, None]  # [N, 24, B]
+    b_bar, _, _ = relaxed_log_barrier(con, cfg.mu_barrier, cfg.theta_barrier)
+    Ru = jnp.einsum("ij,njb->nib", weights.R, us)
+    phi_u = jnp.sum(b_bar, axis=(0, 1)) + 0.5 * jnp.sum(us * Ru, axis=(0, 1))
+    return theta, phi_x + phi_N + phi_u
+
+
+def _merit_fast_soa(params, weights, cfg, xa, us, xra, use_pallas: bool):
+    if use_pallas:
+        from srbd_nmpc_tpu.models import merit_pallas
+
+        Ac, bc = srbd.constraint_matrix(params)
+        th, ph, _, _, _, _ = merit_pallas.merit_pallas(
+            params, weights.Q, weights.Qf, weights.R, Ac, bc, xa, us, xra,
+            cfg.mu_barrier, cfg.theta_barrier, block=cfg.pallas_block,
+            with_grad=False,
+        )
+        return th, ph
+    return _merit_soa(params, weights, cfg, xa, us, xra)
+
+
+def _line_search_soa(params, weights, cfg, xa, us, alpha0, xra,
+                     dx, du, theta0, phi0, dphi, active0, use_pallas: bool):
+    """SoA twin of ``_line_search`` — all trajectories [stages, 12, B],
+    alphas/merits [B]; zero layout changes anywhere in the loop."""
+
+    def cond(carry):
+        alpha, accepted, _, _ = carry
+        searching = active0 & jnp.logical_not(accepted) & (alpha > cfg.alpha_min)
+        return jnp.any(searching)
+
+    def body(carry):
+        alpha, accepted, x_best, u_best = carry
+        a = alpha[None, None, :]
+        x_a = xa + a * dx
+        u_a = us + a * du
+        theta_a, phi_a = _merit_fast_soa(params, weights, cfg, x_a, u_a,
+                                         xra, use_pallas)
+        searching = active0 & jnp.logical_not(accepted) & (alpha > cfg.alpha_min)
+        ok = _accept(cfg, theta_a, phi_a, alpha, theta0, phi0, dphi) & searching
+        okk = ok[None, None, :]
+        x_best = jnp.where(okk, x_a, x_best)
+        u_best = jnp.where(okk, u_a, u_best)
+        new_alpha = jnp.where(searching & jnp.logical_not(ok),
+                              cfg.beta_alpha * alpha, alpha)
+        return (new_alpha, accepted | ok, x_best, u_best)
+
+    init = (alpha0, jnp.zeros_like(alpha0, dtype=bool), xa, us)
+    alpha_f, _, x_new, u_new = lax.while_loop(cond, body, init)
+    return x_new, u_new, alpha_f
+
+
+def _sqp_step_soa(params, weights, cfg, xa, us, alpha, x0s, xra, active):
+    """One SQP iteration entirely in SoA layout (xa [N+1,12,B],
+    us [N,12,B], x0s [12,B], xra [N+1,12,B]); returns (xa', us', alpha',
+    (theta0, phi0, dphi, max_defect, min_con, nan)). This is the batched
+    hot path: on the Pallas route the iteration runs with ZERO layout
+    transposes (round-1 profiling attributed ~30% of solve time to the
+    per-iteration AoS<->SoA relayouts of the trajectory tensors)."""
+    Bn = xa.shape[-1]
+    use_pallas = _pallas_eligible(cfg, Bn) and cfg.refine == 0
+    dx0s = x0s - xa[0]
+    if use_pallas:
+        from srbd_nmpc_tpu.ops import riccati_pallas
+
+        A, B, b, R, q, r, aux = _linearize_pallas_soa(
+            params, weights, cfg, xa, us, xra, block=cfg.pallas_block)
+        dx, du = riccati_pallas.lqr_solve_pallas(
+            A, B, b, (weights.Q, weights.Qf), R, q, r, dx0s,
+            reg=cfg.reg, block=cfg.pallas_block,
+        )
+    else:
+        state_aos = NmpcState(x=jnp.transpose(xa, (2, 0, 1)),
+                              u=jnp.transpose(us, (2, 0, 1)), alpha=alpha)
+        x_ref_aos = jnp.transpose(xra, (2, 0, 1))
+        A, B, b, Q, S, R, q, r, aux = _linearize_soa(
+            params, weights, cfg, state_aos, x_ref_aos)
+        dx, du, _ = riccati_soa.lqr_solve(
+            A, B, b, Q, S, R, q, r, dx0s, reg=cfg.reg, refine=cfg.refine,
+        )
+    theta0, phi0, max_defect, min_con = aux
+    dphi = jnp.sum(dx * q, axis=(0, 1)) + jnp.sum(du * r, axis=(0, 1))
+
+    nan = jnp.logical_not(jnp.isfinite(theta0 + phi0 + dphi))
+    alpha0 = alpha if cfg.persistent_alpha else jnp.ones_like(alpha)
+    xa_n, us_n, alpha_n = _line_search_soa(
+        params, weights, cfg, xa, us, alpha0, xra, dx, du,
+        theta0, phi0, dphi, active & jnp.logical_not(nan), use_pallas,
+    )
+    return xa_n, us_n, alpha_n, (theta0, phi0, dphi, max_defect, min_con, nan)
+
+
 def sqp_step(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
              state: NmpcState, x0: jnp.ndarray, x_ref: jnp.ndarray,
              active=None) -> Tuple[NmpcState, NmpcInfo]:
@@ -535,34 +667,27 @@ def sqp_step(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
 
 
 def _sqp_step(params, weights, cfg, state, x0, x_ref, active):
-    dx0 = x0 - state.x[..., 0, :]
     if state.x.ndim == 3:
-        # batched: stay in SoA from linearization through the Riccati solve;
-        # current-point merit and its gradients fall out of the
-        # linearization byproducts (Jphi_x == q, Jphi_u == r), so no
-        # separate merit sweep is run here.
-        use_pallas = (_pallas_eligible(cfg, state.x.shape[0])
-                      and cfg.refine == 0)
-        dx0s = jnp.moveaxis(dx0, 0, -1)
-        if use_pallas:
-            from srbd_nmpc_tpu.ops import riccati_pallas
-            A, B, b, R, q, r, aux = _linearize_pallas(
-                params, weights, cfg, state, x_ref, block=cfg.pallas_block)
-            theta0, phi0, max_defect, min_con = aux
-            x_s, u_s = riccati_pallas.lqr_solve_pallas(
-                A, B, b, (weights.Q, weights.Qf), R, q, r, dx0s,
-                reg=cfg.reg, block=cfg.pallas_block,
-            )
+        # batched: transpose to SoA at the boundary and run the all-SoA
+        # step (engine.solve's batched loop stays in SoA across ALL
+        # iterations and skips these boundary transposes entirely)
+        Bn = state.x.shape[0]
+        xa = jnp.transpose(state.x, (1, 2, 0))
+        us = jnp.transpose(state.u, (1, 2, 0))
+        if x_ref.ndim == 2:
+            xra = jnp.broadcast_to(x_ref[:, :, None], (cfg.N + 1, srbd.NX, Bn))
         else:
-            A, B, b, Q, S, R, q, r, aux = _linearize_soa(
-                params, weights, cfg, state, x_ref)
-            theta0, phi0, max_defect, min_con = aux
-            x_s, u_s, _ = riccati_soa.lqr_solve(
-                A, B, b, Q, S, R, q, r, dx0s, reg=cfg.reg, refine=cfg.refine,
-            )
-        dphi = (jnp.sum(x_s * q, axis=(0, 1)) + jnp.sum(u_s * r, axis=(0, 1)))
-        dx, du = jnp.moveaxis(x_s, -1, 0), jnp.moveaxis(u_s, -1, 0)
+            xra = jnp.transpose(x_ref, (1, 2, 0))
+        if active is None:
+            active = jnp.ones((Bn,), dtype=bool)
+        xa_n, us_n, alpha_n, aux = _sqp_step_soa(
+            params, weights, cfg, xa, us, state.alpha,
+            jnp.moveaxis(x0, 0, -1), xra, active)
+        theta0, phi0, dphi, max_defect, min_con, nan = aux
+        new_state = NmpcState(x=jnp.transpose(xa_n, (2, 0, 1)),
+                              u=jnp.transpose(us_n, (2, 0, 1)), alpha=alpha_n)
     else:
+        dx0 = x0 - state.x[..., 0, :]
         qp = linearize(params, weights, cfg, state, x_ref)
         sol = lqr_solve(qp, dx0, reg=cfg.reg, refine=cfg.refine)
         dx, du = sol.x, sol.u
@@ -573,16 +698,16 @@ def _sqp_step(params, weights, cfg, state, x0, x_ref, active):
         dphi = (jnp.sum(dx * qp.q, axis=(-2, -1))
                 + jnp.sum(du * qp.r, axis=(-2, -1)))
 
-    # non-finite merit or direction: the reference would throw inside HPIPM
-    # or stall silently (NMPC_solver.cpp:383-392); we flag NAN_DETECTED and
-    # let the caller freeze the scenario at its last finite iterate.
-    nan = jnp.logical_not(jnp.isfinite(theta0 + phi0 + dphi))
-    if active is None:
-        active = jnp.ones(theta0.shape, dtype=bool)
-    new_state = _line_search(
-        params, weights, cfg, state, x_ref, dx, du, theta0, phi0, dphi,
-        active & jnp.logical_not(nan)
-    )
+        # non-finite merit or direction: the reference would throw inside
+        # HPIPM or stall silently (NMPC_solver.cpp:383-392); we flag
+        # NAN_DETECTED and freeze the scenario at its last finite iterate.
+        nan = jnp.logical_not(jnp.isfinite(theta0 + phi0 + dphi))
+        if active is None:
+            active = jnp.ones(theta0.shape, dtype=bool)
+        new_state = _line_search(
+            params, weights, cfg, state, x_ref, dx, du, theta0, phi0, dphi,
+            active & jnp.logical_not(nan)
+        )
     converged = (dphi > cfg.conv_dphi) & (theta0 < cfg.conv_theta)
     status = jnp.where(
         converged, STATUS_SUCCESS,
@@ -617,7 +742,82 @@ def solve(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
         return _solve(params, weights, cfg, state, x0, x_ref)
 
 
+def _solve_batched_soa(params, weights, cfg, state, x0, x_ref):
+    """Batched solve loop, trajectories in SoA for the WHOLE descent:
+    one transpose in, one transpose out, zero relayouts per SQP iteration
+    (the AoS-carry loop spent ~30% of solve time on them)."""
+    Bn = state.x.shape[0]
+    dtype = state.x.dtype
+    xa0 = jnp.transpose(state.x, (1, 2, 0))
+    us0 = jnp.transpose(state.u, (1, 2, 0))
+    x0s = jnp.moveaxis(x0, 0, -1)
+    if x_ref.ndim == 2:
+        xra = jnp.broadcast_to(x_ref[:, :, None], (cfg.N + 1, srbd.NX, Bn))
+    else:
+        xra = jnp.transpose(x_ref, (1, 2, 0))
+    zeros = jnp.zeros((Bn,), dtype)
+
+    def cond(carry):
+        _, _, _, info, it = carry
+        return (it < cfg.sqp_max_iter) & jnp.any(info.status == STATUS_RUNNING)
+
+    def body(carry):
+        xa, us, alpha, info, it = carry
+        act = info.status == STATUS_RUNNING
+        xa_n, us_n, alpha_n, aux = _sqp_step_soa(
+            params, weights, cfg, xa, us, alpha, x0s, xra, act)
+        theta0, phi0, dphi, max_defect, min_con, nan = aux
+        converged = (dphi > cfg.conv_dphi) & (theta0 < cfg.conv_theta)
+        step_status = jnp.where(
+            converged, STATUS_SUCCESS,
+            jnp.where(nan, STATUS_NAN_DETECTED, STATUS_RUNNING),
+        ).astype(jnp.int32)
+
+        m = act[None, None, :]
+        xa2 = jnp.where(m, xa_n, xa)
+        us2 = jnp.where(m, us_n, us)
+        alpha2 = jnp.where(act, alpha_n, alpha)
+
+        def upd(new, old):
+            return jnp.where(act, new, old)
+
+        info2 = NmpcInfo(
+            converged=info.converged | (converged & act),
+            sqp_iters=info.sqp_iters + act.astype(jnp.int32),
+            theta=upd(theta0, info.theta),
+            phi=upd(phi0, info.phi),
+            dphi=upd(dphi, info.dphi),
+            alpha=upd(alpha2, info.alpha),
+            max_defect=upd(max_defect, info.max_defect),
+            min_constraint=upd(min_con, info.min_constraint),
+            status=jnp.where(act, step_status, info.status),
+        )
+        return (xa2, us2, alpha2, info2, it + 1)
+
+    dummy = NmpcInfo(
+        converged=jnp.zeros((Bn,), bool),
+        sqp_iters=jnp.zeros((Bn,), jnp.int32),
+        theta=zeros + jnp.inf, phi=zeros + jnp.inf, dphi=zeros - jnp.inf,
+        alpha=state.alpha,
+        max_defect=zeros + jnp.inf, min_constraint=zeros - jnp.inf,
+        status=jnp.full((Bn,), STATUS_RUNNING, jnp.int32),
+    )
+    xa_f, us_f, alpha_f, info_f, _ = lax.while_loop(
+        cond, body, (xa0, us0, state.alpha, dummy, jnp.asarray(0, jnp.int32))
+    )
+    stalled = (info_f.status == STATUS_RUNNING) & (info_f.alpha <= cfg.alpha_min)
+    info_f = dataclasses.replace(
+        info_f,
+        status=jnp.where(stalled, STATUS_MIN_STEP, info_f.status).astype(jnp.int32),
+    )
+    state_f = NmpcState(x=jnp.transpose(xa_f, (2, 0, 1)),
+                        u=jnp.transpose(us_f, (2, 0, 1)), alpha=alpha_f)
+    return state_f, info_f
+
+
 def _solve(params, weights, cfg, state, x0, x_ref):
+    if state.x.ndim == 3:
+        return _solve_batched_soa(params, weights, cfg, state, x0, x_ref)
     zeros = jnp.zeros(state.alpha.shape, state.x.dtype)
 
     def cond(carry):
