@@ -84,10 +84,24 @@ class NmpcConfig:
     # NMPC_solver.cpp:78 in spirit — tiny SPD safeguard).
     reg: float = _static(default=1e-9)
     refine: int = _static(default=0)
-    # "auto" | "xla" | "pallas": batched Riccati backend. "auto" picks the
-    # fused Pallas kernel on TPU when eligible (refine==0, batch divisible
-    # by pallas_block), else the XLA SoA scan.
+    # "auto" | "xla" | "pallas" | "pscan": batched Riccati backend. "auto"
+    # picks the fused Pallas kernel on TPU when eligible (refine==0, batch
+    # divisible by pallas_block), else the XLA SoA scan; at long horizons
+    # (N >= pscan_min_N, refine==0) it switches to the O(log N)-depth
+    # associative-scan Riccati (ops/riccati_pscan.py). "pscan" forces that
+    # kernel (refinement is not supported there and is ignored).
     qp_kernel: str = _static(default="auto")
+    # auto-rule horizon threshold for the stage-parallel Riccati. Measured
+    # on the real chip (tools/bench_pscan.py, B=256 f32): the sequential
+    # SoA kernel is ~flat in N (24-29 ms for N=20..200, dominated by
+    # per-call overheads) while pscan grows linearly (105 -> 936 ms,
+    # N=20 -> 200; its O(log N) depth buys nothing single-chip because the
+    # AoS 12x12 solves dominate) — there is NO single-chip crossover, so
+    # the default never auto-engages it. pscan's value is sharding the
+    # horizon over a mesh "stage" axis (tests/test_riccati_pscan.py,
+    # __graft_entry__ 2-D mesh dryrun); set qp_kernel="pscan" explicitly
+    # (or lower this threshold) for that regime.
+    pscan_min_N: int = _static(default=1 << 30)
     # scenario-lane block per Pallas grid step (lane dimension of every
     # kernel operand; larger blocks amortize per-grid-step overhead until
     # VMEM pressure bites)
@@ -255,6 +269,15 @@ def _pallas_eligible(cfg: NmpcConfig, batch: int) -> bool:
         cfg.qp_kernel == "auto"
         and jax.default_backend() == "tpu"
         and batch % cfg.pallas_block == 0
+    )
+
+
+def _pscan_selected(cfg: NmpcConfig) -> bool:
+    """True when the stage-parallel (associative-scan) Riccati should solve
+    the QP: forced by qp_kernel="pscan", or picked by the auto rule at
+    long horizons (where the sequential scan's O(N) depth dominates)."""
+    return cfg.qp_kernel == "pscan" or (
+        cfg.qp_kernel == "auto" and cfg.refine == 0 and cfg.N >= cfg.pscan_min_N
     )
 
 
@@ -621,9 +644,25 @@ def _sqp_step_soa(params, weights, cfg, xa, us, alpha, x0s, xra, active):
     transposes (round-1 profiling attributed ~30% of solve time to the
     per-iteration AoS<->SoA relayouts of the trajectory tensors)."""
     Bn = xa.shape[-1]
-    use_pallas = _pallas_eligible(cfg, Bn) and cfg.refine == 0
+    use_pscan = _pscan_selected(cfg)
+    use_pallas = (not use_pscan) and _pallas_eligible(cfg, Bn) and cfg.refine == 0
     dx0s = x0s - xa[0]
-    if use_pallas:
+    if use_pscan:
+        from srbd_nmpc_tpu.ops.riccati_pscan import lqr_solve_pscan
+
+        state_aos = NmpcState(x=jnp.transpose(xa, (2, 0, 1)),
+                              u=jnp.transpose(us, (2, 0, 1)), alpha=alpha)
+        x_ref_aos = jnp.transpose(xra, (2, 0, 1))
+        A, B, b, Q, S, R, q, r, aux = _linearize_soa(
+            params, weights, cfg, state_aos, x_ref_aos)
+        f = lambda z: jnp.moveaxis(z, -1, 0)  # [N,...,B] -> [B,N,...]
+        qp = OcpQp(A=f(A), B=f(B), b=f(b), Q=f(Q), S=f(S), R=f(R),
+                   q=f(q), r=f(r))
+        sol = jax.vmap(lambda qq, d: lqr_solve_pscan(qq, d, reg=cfg.reg))(
+            qp, jnp.moveaxis(dx0s, -1, 0))
+        dx = jnp.transpose(sol.x, (1, 2, 0))   # back to SoA [N+1, nx, B]
+        du = jnp.transpose(sol.u, (1, 2, 0))
+    elif use_pallas:
         from srbd_nmpc_tpu.ops import riccati_pallas
 
         A, B, b, R, q, r, aux = _linearize_pallas_soa(
@@ -689,7 +728,12 @@ def _sqp_step(params, weights, cfg, state, x0, x_ref, active):
     else:
         dx0 = x0 - state.x[..., 0, :]
         qp = linearize(params, weights, cfg, state, x_ref)
-        sol = lqr_solve(qp, dx0, reg=cfg.reg, refine=cfg.refine)
+        if _pscan_selected(cfg):
+            from srbd_nmpc_tpu.ops.riccati_pscan import lqr_solve_pscan
+
+            sol = lqr_solve_pscan(qp, dx0, reg=cfg.reg)
+        else:
+            sol = lqr_solve(qp, dx0, reg=cfg.reg, refine=cfg.refine)
         dx, du = sol.x, sol.u
         theta0, phi0, max_defect, min_con = _merit_fast(
             params, weights, cfg, state.x, state.u, x_ref

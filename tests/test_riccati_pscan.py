@@ -46,7 +46,43 @@ class TestStageSharded:
     def test_stage_axis_sharding(self):
         """2-D (scenario x stage) mesh: the stage-stacked QP data sharded
         along the horizon, batch along scenarios — XLA partitions the
-        associative scan with collectives; numerics must be unchanged."""
+        associative scan with collectives; numerics must be unchanged.
+
+        Runs in a fresh subprocess: this GSPMD partitioning compile
+        segfaults/aborts inside jaxlib's backend_compile when it runs late
+        in a long pytest process that has already compiled ~100 programs
+        (reproduced 3x at tests/ ~54%: SIGSEGV/SIGABRT in
+        backend_compile_and_load; the identical test passes every time in
+        a fresh process — a compiler-state bug in this image's jaxlib, not
+        a numerics issue). Subprocess isolation keeps the coverage without
+        the flaky crash taking down the whole suite.
+        """
+        import subprocess
+        import sys
+
+        res = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+             f"{__file__}::TestStageSharded::test_stage_axis_sharding_inner"],
+            capture_output=True, text=True, timeout=900,
+        )
+        assert res.returncode == 0, (
+            f"stage-sharded pscan subprocess failed:\n{res.stdout[-2000:]}\n"
+            f"{res.stderr[-2000:]}"
+        )
+
+    def test_stage_axis_sharding_inner(self, request=None):
+        # only meaningful as the subprocess target or standalone; skip the
+        # in-suite duplicate run (the wrapper above covers it)
+        import os
+        import pytest as _pytest
+
+        if request is not None and os.environ.get("PYTEST_XDIST_WORKER") is None:
+            # when selected as part of a directory run, the wrapper already
+            # spawns us; detect "ran as full suite" by argv not naming us
+            import sys as _sys
+
+            if not any("test_stage_axis_sharding_inner" in a for a in _sys.argv):
+                _pytest.skip("covered via subprocess wrapper")
         devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
         mesh = Mesh(devs, axis_names=("scenario", "stage"))
 
@@ -74,3 +110,78 @@ class TestStageSharded:
             out = jax.jit(constrained)(x0s)
         np.testing.assert_allclose(out.u, ref.u, atol=1e-9)
         np.testing.assert_allclose(out.x, ref.x, atol=1e-9)
+
+
+class TestEnginePscanKernel:
+    """qp_kernel="pscan" must reproduce the sequential-kernel engine bit
+    for bit at convergence (it is the same QP, solved at O(log N) depth).
+    Covers verdict-r1 #9: pscan as an engine option, incl. the auto rule.
+    """
+
+    def _setup(self, N, dtype=jnp.float64, **kw):
+        from srbd_nmpc_tpu.models import srbd
+        from srbd_nmpc_tpu.nmpc import engine
+
+        cfg = engine.NmpcConfig(N=N, sqp_max_iter=10, **kw)
+        params = srbd.SRBDParams.create(dt=0.015, dtype=dtype)
+        weights = engine.NmpcWeights.create(
+            Q_diag=[0] * 11 + [10], R_scalar=1e-4,
+            Qf_diag=[.5, .5, .5, .01, .01, .01, 100, 100, 100, 0, 0, 100],
+            N=N, dtype=dtype)
+        x0, x_ref = engine.make_benchmark_problem(cfg, dtype)
+        return engine, params, weights, cfg, x0, x_ref
+
+    def test_unbatched_solve_matches_sequential(self):
+        import dataclasses
+
+        engine, params, weights, cfg, x0, x_ref = self._setup(
+            N=12, qp_kernel="pscan")
+        state = engine.NmpcState.initial(cfg.N, jnp.float64)
+        st_p, info_p = jax.jit(engine.solve, static_argnums=2)(
+            params, weights, cfg, state, x0, x_ref)
+        cfg_x = dataclasses.replace(cfg, qp_kernel="xla")
+        st_x, info_x = jax.jit(engine.solve, static_argnums=2)(
+            params, weights, cfg_x, state, x0, x_ref)
+        assert bool(info_p.converged) and bool(info_x.converged)
+        np.testing.assert_allclose(st_p.u, st_x.u, atol=1e-7)
+        np.testing.assert_allclose(st_p.x, st_x.x, atol=1e-7)
+
+    def test_batched_soa_path_matches_sequential(self):
+        import dataclasses
+
+        engine, params, weights, cfg, x0, x_ref = self._setup(
+            N=12, qp_kernel="pscan")
+        Bn = 4
+        rng = np.random.default_rng(21)
+        x0s = jnp.asarray(np.asarray(x0)[None]
+                          + 0.01 * rng.normal(size=(Bn, 12)))
+        states = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (Bn,) + a.shape),
+            engine.NmpcState.initial(cfg.N, jnp.float64))
+        st_p, info_p = jax.jit(engine.solve, static_argnums=2)(
+            params, weights, cfg, states, x0s, x_ref)
+        cfg_x = dataclasses.replace(cfg, qp_kernel="xla")
+        st_x, info_x = jax.jit(engine.solve, static_argnums=2)(
+            params, weights, cfg_x, states, x0s, x_ref)
+        assert bool(jnp.all(info_p.converged))
+        np.testing.assert_allclose(st_p.u, st_x.u, atol=1e-7)
+        np.testing.assert_allclose(st_p.x, st_x.x, atol=1e-7)
+
+    def test_auto_rule_threshold(self):
+        from srbd_nmpc_tpu.nmpc import engine
+
+        assert engine._pscan_selected(
+            engine.NmpcConfig(N=256, qp_kernel="auto", pscan_min_N=128))
+        # default threshold never auto-engages pscan on a single chip
+        # (tools/bench_pscan.py: the sequential kernel wins at every
+        # tested horizon; pscan exists for stage-axis sharding)
+        assert not engine._pscan_selected(
+            engine.NmpcConfig(N=200, qp_kernel="auto"))
+        assert not engine._pscan_selected(
+            engine.NmpcConfig(N=20, qp_kernel="auto"))
+        # refinement is a sequential-kernel feature; auto must not pick
+        # pscan when refine > 0 (explicit "pscan" still wins and ignores it)
+        assert not engine._pscan_selected(
+            engine.NmpcConfig(N=256, qp_kernel="auto", refine=1))
+        assert engine._pscan_selected(
+            engine.NmpcConfig(N=20, qp_kernel="pscan", refine=1))
