@@ -89,7 +89,8 @@ class NmpcConfig:
     # divisible by pallas_block), else the XLA SoA scan; at long horizons
     # (N >= pscan_min_N, refine==0) it switches to the O(log N)-depth
     # associative-scan Riccati (ops/riccati_pscan.py). "pscan" forces that
-    # kernel (refinement is not supported there and is ignored).
+    # kernel (refinement is not supported there; combining it with
+    # refine > 0 raises ValueError).
     qp_kernel: str = _static(default="auto")
     # auto-rule horizon threshold for the stage-parallel Riccati. Measured
     # on the real chip (tools/bench_pscan.py, B=256 f32): the sequential
@@ -110,6 +111,18 @@ class NmpcConfig:
     # Convergence thresholds (NMPC_solver.cpp:267)
     conv_dphi: float = _static(default=-1e-3)
     conv_theta: float = _static(default=1e-6)
+
+    def __post_init__(self):
+        # iterative refinement is a sequential-kernel feature; forcing the
+        # associative-scan kernel while also requesting refinement would
+        # silently drop it — reject the combination instead (the "auto"
+        # rule already never picks pscan when refine > 0).
+        if self.qp_kernel == "pscan" and self.refine > 0:
+            raise ValueError(
+                "qp_kernel='pscan' does not support refine > 0 (iterative "
+                "refinement is only implemented in the sequential Riccati "
+                "kernels); use qp_kernel='auto'/'xla' or set refine=0"
+            )
 
 
 @jax.tree_util.register_dataclass
