@@ -24,11 +24,12 @@ import jax.numpy as jnp
 
 
 def parity_gate(params, weights, cfg, x_ref, dtype, B: int = 512) -> float:
-    """Compare the fused Pallas SQP-step path against the XLA SoA path at
-    B=512 on whatever backend bench runs on; returns the max |du| error and
-    raises if it exceeds 1e-3 (f32 path; the f64 numerics gates live in
-    tests/). Uses one full solve each so every Pallas kernel in the hot
-    path (linearize/riccati/merit) is covered."""
+    """Compare every Pallas QP path (fused linearize+Riccati kernel AND the
+    two-kernel pallas path) against the XLA SoA path at B=512 on whatever
+    backend bench runs on; returns the worst max |du| error and raises if
+    it exceeds 1e-3 (f32 path; the f64 numerics gates live in tests/).
+    Uses one full solve each so every Pallas kernel in the hot path
+    (fused SQP / linearize / riccati / merit) is covered."""
     import dataclasses
 
     import numpy as np
@@ -45,13 +46,16 @@ def parity_gate(params, weights, cfg, x_ref, dtype, B: int = 512) -> float:
     states = sharded.broadcast_state(engine.NmpcState.initial(cfg.N, dtype), B)
 
     outs = {}
-    for kern in ("pallas", "xla"):
+    for kern in ("fused", "pallas", "xla"):
         cfg_k = dataclasses.replace(cfg, qp_kernel=kern)
         st, _ = jax.jit(
             lambda p, w, s, x, r, c=cfg_k: engine.solve(p, w, c, s, x, r)
         )(params, weights, states, x0s, x_ref)
         outs[kern] = jax.block_until_ready(st)
-    err = float(jnp.max(jnp.abs(outs["pallas"].u - outs["xla"].u)))
+    err = max(
+        float(jnp.max(jnp.abs(outs[k].u - outs["xla"].u)))
+        for k in ("fused", "pallas")
+    )
     if not err < 1e-3:
         raise AssertionError(f"Pallas/XLA parity gate failed: max|du|={err}")
     return err

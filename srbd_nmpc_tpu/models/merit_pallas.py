@@ -128,6 +128,130 @@ def _merit_stage(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref, Qw_ref,
         del QfeN  # terminal gradient row is assembled by the wrapper
 
 
+def _kernel_alpha(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
+                  Qw_ref, Qf_ref, x_ref, xn_ref, dx_ref, dxn_ref, u_ref,
+                  du_ref, xr_ref, xrN_ref, alpha_ref,
+                  theta_ref, phi_ref, acc_scr,
+                  mu_b: float, theta_b: float, N: int):
+    """Line-search candidate variant: evaluates the merit at the trial
+    point (x + alpha dx, u + alpha du) with a per-scenario alpha, so the
+    backtracking loop never materializes candidate trajectories in HBM
+    (the reference evaluates each candidate the same way in-place,
+    NMPC_solver.cpp:200-233)."""
+    g = pl.program_id(1)
+    dtype = x_ref.dtype
+    block = x_ref.shape[-1]
+
+    def widen(c):
+        # lane-only broadcast; Mosaic rejects sublane+lane double broadcasts
+        return jnp.broadcast_to(c[..., None], c.shape + (block,))
+
+    a = alpha_ref[...]                   # [1, block] — sublane-broadcasts
+    x = jnp.squeeze(x_ref[...], 0) + a * jnp.squeeze(dx_ref[...], 0)
+    xn = jnp.squeeze(xn_ref[...], 0) + a * jnp.squeeze(dxn_ref[...], 0)
+    u = jnp.squeeze(u_ref[...], 0) + a * jnp.squeeze(du_ref[...], 0)
+    xr = jnp.squeeze(xr_ref[...], 0)
+
+    params = SRBDParams(
+        mass=sm._at(scal_ref[...], 0, 0),
+        inertia_inv=iinv_ref[...],
+        foot_pos=foot_ref[...],
+        foot_rot=jnp.zeros((2, 3, 3), dtype),
+        dt=sm._at(scal_ref[...], 1, 0),
+        mu=sm._at(scal_ref[...], 2, 0),
+        lfx=sm._at(scal_ref[...], 3, 0),
+        lfz=sm._at(scal_ref[...], 4, 0),
+        fmax=sm._at(scal_ref[...], 5, 0),
+        fmin=sm._at(scal_ref[...], 6, 0),
+    )
+
+    defect = xn - srbd_soa.rk4(params, x, u)
+    theta_part = 0.5 * jnp.sum(defect * defect, axis=0)
+
+    ex = x - xr
+    Qx = sm.mv(widen(Qw_ref[...]), ex)
+    phi_x = 0.5 * jnp.sum(ex * Qx, axis=0)
+
+    Ac_b = widen(Ac_ref[...])
+    con = sm.mv(Ac_b, u) + bc_ref[...]
+    b_bar, _, _ = relaxed_log_barrier(con, mu_b, theta_b)
+    Ru = sm.mv(widen(Rw_ref[...]), u)
+    phi_u = jnp.sum(b_bar, axis=0) + 0.5 * jnp.sum(u * Ru, axis=0)
+
+    is_first = g == 0
+    acc = acc_scr[...]                   # garbage at g == 0; select discards
+    zero = jnp.zeros((), dtype)
+    th = jnp.where(is_first, zero, sm.row(acc, 0)) + theta_part
+    ph = jnp.where(is_first, zero, sm.row(acc, 1)) + phi_x + phi_u
+    acc_scr[...] = jnp.stack([th, ph])
+
+    @pl.when(g == N - 1)
+    def _():
+        eN = xn - jnp.squeeze(xrN_ref[...], 0)   # xn here IS candidate x_N
+        QfeN = sm.mv(widen(Qf_ref[...]), eN)
+        theta_ref[...] = th[None]
+        phi_ref[...] = (ph + 0.5 * jnp.sum(eN * QfeN, axis=0))[None]
+
+
+def merit_alpha_pallas(
+    params: SRBDParams, Q_w: jnp.ndarray, Qf_w: jnp.ndarray, R_w: jnp.ndarray,
+    Ac: jnp.ndarray, bc: jnp.ndarray,
+    x: jnp.ndarray, u: jnp.ndarray, xr: jnp.ndarray,
+    dx: jnp.ndarray, du: jnp.ndarray, alpha: jnp.ndarray,
+    mu_b: float, theta_b: float, block: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merit (theta, phi) at the candidate (x + alpha dx, u + alpha du).
+
+    Stage-major SoA inputs: x/xr/dx [N+1,12,Bt], u/du [N,12,Bt],
+    alpha [Bt] per scenario. Returns (theta [Bt], phi [Bt])."""
+    Np1, _, Bt = x.shape
+    N = Np1 - 1
+    assert Bt % block == 0
+    dtype = x.dtype
+
+    scal = jnp.stack([
+        params.mass, params.dt, params.mu, params.lfx, params.lfz,
+        params.fmax, params.fmin, jnp.asarray(0.0, dtype),
+    ]).reshape(_NPARAM, 1)
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda i, g: (0,) * len(shape))
+    sv_ = lambda i, g: (g, 0, i)
+    sv1_ = lambda i, g: (g + 1, 0, i)
+    lane_ = lambda i, g: (0, i)
+
+    in_specs = [
+        const(_NPARAM, 1), const(3, 3), const(2, 3),
+        const(NG, NU), pl.BlockSpec((NG, 1), lambda i, g: (0, 0)),
+        const(NU, NU), const(NX, NX), const(NX, NX),
+        pl.BlockSpec((1, NX, block), sv_),    # x_g
+        pl.BlockSpec((1, NX, block), sv1_),   # x_{g+1}
+        pl.BlockSpec((1, NX, block), sv_),    # dx_g
+        pl.BlockSpec((1, NX, block), sv1_),   # dx_{g+1}
+        pl.BlockSpec((1, NU, block), sv_),    # u_g
+        pl.BlockSpec((1, NU, block), sv_),    # du_g
+        pl.BlockSpec((1, NX, block), sv_),    # xr_g
+        pl.BlockSpec((1, NX, block), lambda i, g: (N, 0, i)),  # xr_N
+        pl.BlockSpec((1, block), lane_),      # alpha
+    ]
+    theta, phi = pl.pallas_call(
+        functools.partial(_kernel_alpha, mu_b=mu_b, theta_b=theta_b, N=N),
+        grid=(Bt // block, N),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, block), lane_),
+                   pl.BlockSpec((1, block), lane_)],
+        out_shape=[jax.ShapeDtypeStruct((1, Bt), dtype),
+                   jax.ShapeDtypeStruct((1, Bt), dtype)],
+        scratch_shapes=[pltpu.VMEM((2, block), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(scal, params.inertia_inv.astype(dtype), params.foot_pos.astype(dtype),
+      Ac.astype(dtype), bc.astype(dtype).reshape(NG, 1),
+      R_w.astype(dtype), Q_w.astype(dtype), Qf_w.astype(dtype),
+      x, x, dx, dx, u, du, xr, xr, alpha.reshape(1, Bt))
+    return jnp.squeeze(theta, 0), jnp.squeeze(phi, 0)
+
+
 def merit_pallas(
     params: SRBDParams, Q_w: jnp.ndarray, Qf_w: jnp.ndarray, R_w: jnp.ndarray,
     Ac: jnp.ndarray, bc: jnp.ndarray,

@@ -84,13 +84,19 @@ class NmpcConfig:
     # NMPC_solver.cpp:78 in spirit — tiny SPD safeguard).
     reg: float = _static(default=1e-9)
     refine: int = _static(default=0)
-    # "auto" | "xla" | "pallas" | "pscan": batched Riccati backend. "auto"
-    # picks the fused Pallas kernel on TPU when eligible (refine==0, batch
-    # divisible by pallas_block), else the XLA SoA scan; at long horizons
-    # (N >= pscan_min_N, refine==0) it switches to the O(log N)-depth
-    # associative-scan Riccati (ops/riccati_pscan.py). "pscan" forces that
-    # kernel (refinement is not supported there; combining it with
-    # refine > 0 raises ValueError).
+    # "auto" | "fused" | "xla" | "pallas" | "pscan": batched QP backend.
+    # "fused" is the fastest TPU path: one Pallas kernel linearizes AND
+    # runs the backward Riccati per stage (ops/sqp_pallas.py), so the
+    # [N,12,12,B] Jacobian/Hessian tensors never round-trip HBM; "pallas"
+    # is the two-kernel round-2 path (separate linearize + Riccati);
+    # "auto" picks "fused" on TPU when eligible (refine==0, batch
+    # divisible by pallas_block, Euler sensitivities), else the XLA SoA
+    # scan; at long horizons (N >= pscan_min_N, refine==0) it switches to
+    # the O(log N)-depth associative-scan Riccati (ops/riccati_pscan.py).
+    # "pscan" forces that kernel. Combining "pscan"/"fused" with
+    # refine > 0, or "pallas"/"fused" with non-Euler sensitivities,
+    # raises ValueError (the Pallas linearizers implement the reference's
+    # Euler sensitivities only, SRBD_model.cpp:180-181).
     qp_kernel: str = _static(default="auto")
     # auto-rule horizon threshold for the stage-parallel Riccati. Measured
     # on the real chip (tools/bench_pscan.py, B=256 f32): the sequential
@@ -117,11 +123,18 @@ class NmpcConfig:
         # associative-scan kernel while also requesting refinement would
         # silently drop it — reject the combination instead (the "auto"
         # rule already never picks pscan when refine > 0).
-        if self.qp_kernel == "pscan" and self.refine > 0:
+        if self.qp_kernel in ("pscan", "fused") and self.refine > 0:
             raise ValueError(
-                "qp_kernel='pscan' does not support refine > 0 (iterative "
-                "refinement is only implemented in the sequential Riccati "
-                "kernels); use qp_kernel='auto'/'xla' or set refine=0"
+                f"qp_kernel={self.qp_kernel!r} does not support refine > 0 "
+                "(iterative refinement is only implemented in the "
+                "sequential XLA Riccati kernel); use qp_kernel='auto'/'xla' "
+                "or set refine=0"
+            )
+        if self.qp_kernel in ("pallas", "fused") and self.sensitivity != "euler":
+            raise ValueError(
+                f"qp_kernel={self.qp_kernel!r} implements the reference's "
+                "Euler sensitivities only (SRBD_model.cpp:180-181); use "
+                "sensitivity='euler' or qp_kernel='auto'/'xla'"
             )
 
 
@@ -282,6 +295,18 @@ def _pallas_eligible(cfg: NmpcConfig, batch: int) -> bool:
         cfg.qp_kernel == "auto"
         and jax.default_backend() == "tpu"
         and batch % cfg.pallas_block == 0
+    )
+
+
+def _fused_eligible(cfg: NmpcConfig, batch: int) -> bool:
+    """True when the fully fused linearize+Riccati kernel
+    (ops/sqp_pallas.py) should solve the QP — the fastest TPU path."""
+    return cfg.qp_kernel == "fused" or (
+        cfg.qp_kernel == "auto"
+        and jax.default_backend() == "tpu"
+        and batch % cfg.pallas_block == 0
+        and cfg.refine == 0
+        and cfg.sensitivity == "euler"
     )
 
 
@@ -604,48 +629,56 @@ def _merit_soa(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
     return theta, phi_x + phi_N + phi_u
 
 
-def _merit_fast_soa(params, weights, cfg, xa, us, xra, use_pallas: bool):
+def _merit_candidate_soa(params, weights, cfg, xa, us, xra,
+                         dx, du, alpha, use_pallas: bool):
+    """(theta, phi) [B] at the candidate (xa + alpha dx, us + alpha du).
+    The Pallas route folds the alpha-scaling into the merit kernel
+    (merit_pallas.merit_alpha_pallas) so candidate trajectories never
+    materialize in HBM; the XLA fallback forms them inline (fused by XLA
+    into the defect evaluation anyway)."""
     if use_pallas:
         from srbd_nmpc_tpu.models import merit_pallas
 
         Ac, bc = srbd.constraint_matrix(params)
-        th, ph, _, _, _, _ = merit_pallas.merit_pallas(
+        return merit_pallas.merit_alpha_pallas(
             params, weights.Q, weights.Qf, weights.R, Ac, bc, xa, us, xra,
-            cfg.mu_barrier, cfg.theta_barrier, block=cfg.pallas_block,
-            with_grad=False,
+            dx, du, alpha, cfg.mu_barrier, cfg.theta_barrier,
+            block=cfg.pallas_block,
         )
-        return th, ph
-    return _merit_soa(params, weights, cfg, xa, us, xra)
+    a = alpha[None, None, :]
+    return _merit_soa(params, weights, cfg, xa + a * dx, us + a * du, xra)
 
 
 def _line_search_soa(params, weights, cfg, xa, us, alpha0, xra,
                      dx, du, theta0, phi0, dphi, active0, use_pallas: bool):
-    """SoA twin of ``_line_search`` — all trajectories [stages, 12, B],
-    alphas/merits [B]; zero layout changes anywhere in the loop."""
+    """SoA twin of ``_line_search`` — trajectories [stages, 12, B],
+    alphas/merits [B]. The loop carries ONLY (alpha, accepted) per
+    scenario; the accepted trajectory is reconstructed once afterwards as
+    xa + alpha dx (bitwise the same expression the merit evaluated), so
+    no [N,12,B] tensors live in the while-loop carry."""
 
     def cond(carry):
-        alpha, accepted, _, _ = carry
+        alpha, accepted = carry
         searching = active0 & jnp.logical_not(accepted) & (alpha > cfg.alpha_min)
         return jnp.any(searching)
 
     def body(carry):
-        alpha, accepted, x_best, u_best = carry
-        a = alpha[None, None, :]
-        x_a = xa + a * dx
-        u_a = us + a * du
-        theta_a, phi_a = _merit_fast_soa(params, weights, cfg, x_a, u_a,
-                                         xra, use_pallas)
+        alpha, accepted = carry
+        theta_a, phi_a = _merit_candidate_soa(
+            params, weights, cfg, xa, us, xra, dx, du, alpha, use_pallas)
         searching = active0 & jnp.logical_not(accepted) & (alpha > cfg.alpha_min)
         ok = _accept(cfg, theta_a, phi_a, alpha, theta0, phi0, dphi) & searching
-        okk = ok[None, None, :]
-        x_best = jnp.where(okk, x_a, x_best)
-        u_best = jnp.where(okk, u_a, u_best)
         new_alpha = jnp.where(searching & jnp.logical_not(ok),
                               cfg.beta_alpha * alpha, alpha)
-        return (new_alpha, accepted | ok, x_best, u_best)
+        return (new_alpha, accepted | ok)
 
-    init = (alpha0, jnp.zeros_like(alpha0, dtype=bool), xa, us)
-    alpha_f, _, x_new, u_new = lax.while_loop(cond, body, init)
+    init = (alpha0, jnp.zeros(alpha0.shape, dtype=bool))
+    alpha_f, accepted = lax.while_loop(cond, body, init)
+    am = accepted[None, None, :]
+    af = alpha_f[None, None, :]
+    # where-guarded (not alpha*0): a frozen/NaN scenario's dx may be NaN
+    x_new = jnp.where(am, xa + af * dx, xa)
+    u_new = jnp.where(am, us + af * du, us)
     return x_new, u_new, alpha_f
 
 
@@ -658,7 +691,9 @@ def _sqp_step_soa(params, weights, cfg, xa, us, alpha, x0s, xra, active):
     per-iteration AoS<->SoA relayouts of the trajectory tensors)."""
     Bn = xa.shape[-1]
     use_pscan = _pscan_selected(cfg)
-    use_pallas = (not use_pscan) and _pallas_eligible(cfg, Bn) and cfg.refine == 0
+    use_fused = (not use_pscan) and _fused_eligible(cfg, Bn)
+    use_pallas = ((not use_pscan) and (not use_fused)
+                  and _pallas_eligible(cfg, Bn) and cfg.refine == 0)
     dx0s = x0s - xa[0]
     if use_pscan:
         from srbd_nmpc_tpu.ops.riccati_pscan import lqr_solve_pscan
@@ -675,6 +710,16 @@ def _sqp_step_soa(params, weights, cfg, xa, us, alpha, x0s, xra, active):
             qp, jnp.moveaxis(dx0s, -1, 0))
         dx = jnp.transpose(sol.x, (1, 2, 0))   # back to SoA [N+1, nx, B]
         du = jnp.transpose(sol.u, (1, 2, 0))
+        dphi = jnp.sum(dx * q, axis=(0, 1)) + jnp.sum(du * r, axis=(0, 1))
+    elif use_fused:
+        from srbd_nmpc_tpu.ops import sqp_pallas
+
+        Ac, bc = srbd.constraint_matrix(params)
+        dx, du, dphi, aux = sqp_pallas.sqp_qp_solve(
+            params, weights.Q, weights.Qf, weights.R, Ac, bc,
+            xa, us, xra, dx0s, cfg.mu_barrier, cfg.theta_barrier,
+            reg=cfg.reg, block=cfg.pallas_block,
+        )
     elif use_pallas:
         from srbd_nmpc_tpu.ops import riccati_pallas
 
@@ -684,6 +729,7 @@ def _sqp_step_soa(params, weights, cfg, xa, us, alpha, x0s, xra, active):
             A, B, b, (weights.Q, weights.Qf), R, q, r, dx0s,
             reg=cfg.reg, block=cfg.pallas_block,
         )
+        dphi = jnp.sum(dx * q, axis=(0, 1)) + jnp.sum(du * r, axis=(0, 1))
     else:
         state_aos = NmpcState(x=jnp.transpose(xa, (2, 0, 1)),
                               u=jnp.transpose(us, (2, 0, 1)), alpha=alpha)
@@ -693,14 +739,15 @@ def _sqp_step_soa(params, weights, cfg, xa, us, alpha, x0s, xra, active):
         dx, du, _ = riccati_soa.lqr_solve(
             A, B, b, Q, S, R, q, r, dx0s, reg=cfg.reg, refine=cfg.refine,
         )
+        dphi = jnp.sum(dx * q, axis=(0, 1)) + jnp.sum(du * r, axis=(0, 1))
     theta0, phi0, max_defect, min_con = aux
-    dphi = jnp.sum(dx * q, axis=(0, 1)) + jnp.sum(du * r, axis=(0, 1))
 
     nan = jnp.logical_not(jnp.isfinite(theta0 + phi0 + dphi))
     alpha0 = alpha if cfg.persistent_alpha else jnp.ones_like(alpha)
     xa_n, us_n, alpha_n = _line_search_soa(
         params, weights, cfg, xa, us, alpha0, xra, dx, du,
-        theta0, phi0, dphi, active & jnp.logical_not(nan), use_pallas,
+        theta0, phi0, dphi, active & jnp.logical_not(nan),
+        use_pallas or use_fused,
     )
     return xa_n, us_n, alpha_n, (theta0, phi0, dphi, max_defect, min_con, nan)
 

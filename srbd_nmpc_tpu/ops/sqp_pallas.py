@@ -1,0 +1,319 @@
+"""Fully fused SQP-iteration Pallas kernels.
+
+Round-2 profiling of the batched NMPC hot path (tools/roofline.py) showed
+the Riccati kernel 66% HBM-bound: per SQP iteration the linearization
+kernel writes the stage Jacobian/Hessian tensors A, B, R_eff
+(3 x [N,12,12,B] ~ 140 MB at B=4096) to HBM, and the Riccati kernels read
+them straight back. This module fuses the two stages so those tensors
+NEVER exist in HBM:
+
+- ``_bwd_kernel``: one grid step linearizes stage k = N-1-g (RK4 defect,
+  Euler sensitivities, barrier-augmented cost — the whole
+  prepareQpStructures stage math, /root/reference/NMPC_solver.cpp:276-314)
+  and immediately consumes A/B/R_eff in the backward Riccati recursion
+  (the math HPIPM runs inside d_ocp_qp_ipm_solve for the unconstrained
+  QPs this path solves, reference call site ocp_qp_ipm_solver.cpp:334).
+  Only what the forward pass needs leaves the kernel: the closed-loop
+  transition Acl = A + B K, its offset bcl = b + B k, the gains (K, k),
+  and the cost gradients (q, r_eff) for the directional derivative —
+  plus the current-point merit (theta, phi, diagnostics), accumulated in
+  VMEM scratch across stages like models/merit_pallas.py.
+- ``_fwd_kernel``: rollout dx_{k+1} = Acl dx_k + bcl, gains
+  du_k = K dx_k + k, and the line-search directional derivative
+  dphi = sum_k dx_k.q_k + du_k.r_k + dx_N.q_N (checkConvergence,
+  NMPC_solver.cpp:191-198) accumulated in VMEM — so the XLA dphi
+  reduction pass disappears too.
+
+HBM traffic per SQP iteration drops from ~500 MB to ~230 MB at B=4096
+(Acl/K at 47 MB each written+read are the irreducible remainder: the
+forward pass cannot start until the backward pass finishes, so one
+[12,12] matrix pair per stage must round-trip HBM).
+
+Both kernels follow the proven Mosaic-safe pattern from
+ops/riccati_pallas.py: a SEQUENTIAL ('arbitrary') minor grid dimension
+over stages with VMEM scratch carry, ops/smallmat rank-1 k-loop products,
+and lane-only broadcasts of constants.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from srbd_nmpc_tpu.models import srbd_soa
+from srbd_nmpc_tpu.models.srbd import NG, NU, NX, SRBDParams
+from srbd_nmpc_tpu.ops import smallmat as sm
+from srbd_nmpc_tpu.ops.barrier import relaxed_log_barrier
+
+_NPARAM = 8  # mass, dt, mu, lfx, lfz, fmax, fmin, pad
+
+
+def _params_from_refs(scal_ref, iinv_ref, foot_ref, dtype) -> SRBDParams:
+    return SRBDParams(
+        mass=sm._at(scal_ref[...], 0, 0),
+        inertia_inv=iinv_ref[...],
+        foot_pos=foot_ref[...],
+        foot_rot=jnp.zeros((2, 3, 3), dtype),  # unused by dynamics/jacobians
+        dt=sm._at(scal_ref[...], 1, 0),
+        mu=sm._at(scal_ref[...], 2, 0),
+        lfx=sm._at(scal_ref[...], 3, 0),
+        lfz=sm._at(scal_ref[...], 4, 0),
+        fmax=sm._at(scal_ref[...], 5, 0),
+        fmin=sm._at(scal_ref[...], 6, 0),
+    )
+
+
+def _bwd_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref, Qw_ref,
+                Qf_ref, x_ref, xn_ref, u_ref, xr_ref, xrN_ref,
+                Acl_ref, K_ref, bcl_ref, kv_ref, q_ref, reff_ref, qN_ref,
+                theta_ref, phi_ref, maxdef_ref, mincon_ref,
+                P_scr, p_scr, acc_scr,
+                mu_b: float, theta_b: float, reg: float, N: int):
+    """Linearize + one backward-Riccati stage at k = N-1-g per grid step."""
+    g = pl.program_id(1)
+    dtype = x_ref.dtype
+    block = x_ref.shape[-1]
+
+    def widen(c):
+        # constants reach full lane width in ONE (lane-only) broadcast:
+        # Mosaic can't broadcast a single operand in both sublanes and lanes
+        return jnp.broadcast_to(c[..., None], c.shape + (block,))
+
+    x = jnp.squeeze(x_ref[...], 0)     # [12, block] — stage-k state
+    xn = jnp.squeeze(xn_ref[...], 0)   # stage k+1 state
+    u = jnp.squeeze(u_ref[...], 0)
+    xr = jnp.squeeze(xr_ref[...], 0)
+    params = _params_from_refs(scal_ref, iinv_ref, foot_ref, dtype)
+
+    # ---- linearization (prepareQpStructures stage math) ------------------
+    A, B = srbd_soa.euler_AB(params, x, u)               # [12,12,block]
+    b = srbd_soa.rk4(params, x, u) - xn                   # = -defect
+    Ac_b = widen(Ac_ref[...])                             # [24,12,block]
+    con = sm.mv(Ac_b, u) + bc_ref[...]                    # [24, block]
+    b_bar, db, ddb = relaxed_log_barrier(con, mu_b, theta_b)
+    Rw_b = widen(Rw_ref[...])
+    Reff = Rw_b + sm.mtm(Ac_b, Ac_b * ddb[:, None])       # [12,12,block]
+    Ru = sm.mv(Rw_b, u)
+    reff = Ru + sm.mtv(Ac_b, db)
+    Qw_b = widen(Qw_ref[...])
+    q = sm.mv(Qw_b, x - xr)
+
+    # terminal quantities (meaningful only at g == 0, where xn is x_N)
+    eN = xn - jnp.squeeze(xrN_ref[...], 0)
+    qN = sm.mv(widen(Qf_ref[...]), eN)
+
+    @pl.when(g == 0)
+    def _():
+        P_scr[...] = widen(Qf_ref[...])
+        p_scr[...] = qN
+        qN_ref[...] = qN
+
+    # ---- backward Riccati stage (S = 0 in the NMPC delta-QP) -------------
+    P = P_scr[...]
+    p = p_scr[...]
+    eye_reg = jnp.asarray(reg, dtype) * jnp.eye(NX, dtype=dtype)[:, :, None]
+    PA = sm.mm(P, A)
+    PB = sm.mm(P, B)
+    G = Reff + sm.mtm(B, PB) + eye_reg
+    H = sm.mtm(B, PA)
+    L, dinv = sm.cholesky(G)
+    K = -sm.chol_solve(L, dinv, H)
+    Pb_p = sm.mv(P, b) + p
+    kv = -jnp.squeeze(
+        sm.chol_solve(L, dinv, (sm.mtv(B, Pb_p) + reff)[:, None, :]), 1)
+    P_new = Qw_b + sm.mtm(A, PA) + sm.mtm(H, K)
+    P_scr[...] = 0.5 * (P_new + jnp.swapaxes(P_new, 0, 1))
+    p_scr[...] = q + sm.mtv(A, Pb_p) + sm.mtv(H, kv)
+
+    Acl_ref[...] = (A + sm.mm(B, K))[None]
+    K_ref[...] = K[None]
+    bcl_ref[...] = (b + sm.mv(B, kv))[None]
+    kv_ref[...] = kv[None]
+    q_ref[...] = q[None]
+    reff_ref[...] = reff[None]
+
+    # ---- current-point merit, accumulated across stages in VMEM ----------
+    # (the reference re-evaluates all of this in linearSearch,
+    # NMPC_solver.cpp:152-189; here it is a byproduct)
+    is_first = g == 0
+    acc = acc_scr[...]        # garbage at g == 0; discarded by the selects
+    th_part = 0.5 * jnp.sum(b * b, axis=0)
+    ph_part = (jnp.sum(b_bar, axis=0) + 0.5 * jnp.sum(u * Ru, axis=0)
+               + 0.5 * jnp.sum((x - xr) * q, axis=0))
+    phiN = 0.5 * jnp.sum(eN * qN, axis=0)
+    zero = jnp.zeros((), dtype)
+    th = jnp.where(is_first, zero, sm.row(acc, 0)) + th_part
+    ph = jnp.where(is_first, phiN, sm.row(acc, 1)) + ph_part
+    md = jnp.maximum(jnp.where(is_first, zero, sm.row(acc, 2)),
+                     jnp.max(jnp.abs(b), axis=0))
+    mc = jnp.minimum(
+        jnp.where(is_first, jnp.asarray(1e30, dtype), sm.row(acc, 3)),
+        jnp.min(con, axis=0))
+    acc_scr[...] = jnp.stack([th, ph, md, mc])
+
+    @pl.when(g == N - 1)
+    def _():
+        theta_ref[...] = th[None]
+        phi_ref[...] = ph[None]
+        maxdef_ref[...] = md[None]
+        mincon_ref[...] = mc[None]
+
+
+def _fwd_kernel(Acl_ref, K_ref, bcl_ref, kv_ref, q_ref, reff_ref, qN_ref,
+                dx0_ref, dx_ref, du_ref, dphi_ref, x_scr, acc_scr, N: int):
+    """Closed-loop rollout + gains + dphi accumulation; stage k = g."""
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        x_scr[...] = dx0_ref[...]
+        acc_scr[...] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
+
+    dx = x_scr[...]
+    du = sm.mv(jnp.squeeze(K_ref[...], 0), dx) + jnp.squeeze(kv_ref[...], 0)
+    dxn = (sm.mv(jnp.squeeze(Acl_ref[...], 0), dx)
+           + jnp.squeeze(bcl_ref[...], 0))
+    part = (jnp.sum(dx * jnp.squeeze(q_ref[...], 0), axis=0)
+            + jnp.sum(du * jnp.squeeze(reff_ref[...], 0), axis=0))
+    tot = acc_scr[...] + part[None]
+    acc_scr[...] = tot
+    du_ref[...] = du[None]
+    dx_ref[...] = dxn[None]
+    x_scr[...] = dxn
+
+    @pl.when(g == N - 1)
+    def _():
+        dphi_ref[...] = tot + jnp.sum(dxn * qN_ref[...], axis=0)[None]
+
+
+def sqp_qp_solve(
+    params: SRBDParams, Q_w: jnp.ndarray, Qf_w: jnp.ndarray, R_w: jnp.ndarray,
+    Ac: jnp.ndarray, bc: jnp.ndarray,
+    xa: jnp.ndarray, us: jnp.ndarray, xra: jnp.ndarray, dx0: jnp.ndarray,
+    mu_b: float, theta_b: float, reg: float = 0.0, block: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+    """One fused SQP QP solve: linearize around (xa, us) and solve the
+    delta-form LQR in two Pallas passes.
+
+    Stage-major SoA inputs: xa [N+1,12,Bt] (trajectory), us [N,12,Bt],
+    xra [N+1,12,Bt] (reference), dx0 [12,Bt] (x0 - xa[0]). Returns
+    (dx [N+1,12,Bt], du [N,12,Bt], dphi [Bt],
+    aux = (theta, phi, max|defect|, min_con) at the current iterate, [Bt]).
+    """
+    N = us.shape[0]
+    Bt = xa.shape[-1]
+    assert Bt % block == 0, (Bt, block)
+    dtype = xa.dtype
+
+    scal = jnp.stack([
+        params.mass, params.dt, params.mu, params.lfx, params.lfz,
+        params.fmax, params.fmin, jnp.asarray(0.0, dtype),
+    ]).reshape(_NPARAM, 1)
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda i, g: (0,) * len(shape))
+    rv_ = lambda i, g: (N - 1 - g, 0, i)      # stage k = N-1-g, vectors
+    rv1_ = lambda i, g: (N - g, 0, i)         # stage k+1
+    rm_ = lambda i, g: (N - 1 - g, 0, 0, i)   # stage k, matrices
+    bN_ = lambda i, g: (N, 0, i)              # terminal stage
+    lane_ = lambda i, g: (0, i)               # per-scenario blocks
+
+    in_specs = [
+        const(_NPARAM, 1), const(3, 3), const(2, 3),
+        const(NG, NU), pl.BlockSpec((NG, 1), lambda i, g: (0, 0)),
+        const(NU, NU), const(NX, NX), const(NX, NX),
+        pl.BlockSpec((1, NX, block), rv_),     # x_k
+        pl.BlockSpec((1, NX, block), rv1_),    # x_{k+1}
+        pl.BlockSpec((1, NU, block), rv_),     # u_k
+        pl.BlockSpec((1, NX, block), rv_),     # xr_k
+        pl.BlockSpec((1, NX, block), bN_),     # xr_N
+    ]
+    out_specs = [
+        pl.BlockSpec((1, NX, NX, block), rm_),   # Acl = A + B K
+        pl.BlockSpec((1, NU, NX, block), rm_),   # K
+        pl.BlockSpec((1, NX, block), rv_),       # bcl = b + B k
+        pl.BlockSpec((1, NU, block), rv_),       # k
+        pl.BlockSpec((1, NX, block), rv_),       # q (running stages)
+        pl.BlockSpec((1, NU, block), rv_),       # r_eff
+        pl.BlockSpec((NX, block), lane_),        # q_N
+        pl.BlockSpec((1, block), lane_),         # theta
+        pl.BlockSpec((1, block), lane_),         # phi
+        pl.BlockSpec((1, block), lane_),         # max |defect|
+        pl.BlockSpec((1, block), lane_),         # min constraint
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((N, NX, NX, Bt), dtype),
+        jax.ShapeDtypeStruct((N, NU, NX, Bt), dtype),
+        jax.ShapeDtypeStruct((N, NX, Bt), dtype),
+        jax.ShapeDtypeStruct((N, NU, Bt), dtype),
+        jax.ShapeDtypeStruct((N, NX, Bt), dtype),
+        jax.ShapeDtypeStruct((N, NU, Bt), dtype),
+        jax.ShapeDtypeStruct((NX, Bt), dtype),
+        jax.ShapeDtypeStruct((1, Bt), dtype),
+        jax.ShapeDtypeStruct((1, Bt), dtype),
+        jax.ShapeDtypeStruct((1, Bt), dtype),
+        jax.ShapeDtypeStruct((1, Bt), dtype),
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, mu_b=mu_b, theta_b=theta_b,
+                          reg=reg, N=N),
+        grid=(Bt // block, N),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((NX, NX, block), dtype),   # P carry
+            pltpu.VMEM((NX, block), dtype),       # p carry
+            pltpu.VMEM((4, block), dtype),        # merit accumulators
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(scal, params.inertia_inv.astype(dtype), params.foot_pos.astype(dtype),
+      Ac.astype(dtype), bc.astype(dtype).reshape(NG, 1),
+      R_w.astype(dtype), Q_w.astype(dtype), Qf_w.astype(dtype),
+      xa, xa, us, xra, xra)
+    Acl, K, bcl, kv, q, reff, qN, theta, phi, maxdef, mincon = outs
+
+    fm_ = lambda i, g: (g, 0, 0, i)
+    fv_ = lambda i, g: (g, 0, i)
+    dx_rest, du, dphi = pl.pallas_call(
+        functools.partial(_fwd_kernel, N=N),
+        grid=(Bt // block, N),
+        in_specs=[
+            pl.BlockSpec((1, NX, NX, block), fm_),   # Acl
+            pl.BlockSpec((1, NU, NX, block), fm_),   # K
+            pl.BlockSpec((1, NX, block), fv_),       # bcl
+            pl.BlockSpec((1, NU, block), fv_),       # k
+            pl.BlockSpec((1, NX, block), fv_),       # q
+            pl.BlockSpec((1, NU, block), fv_),       # r_eff
+            pl.BlockSpec((NX, block), lane_),        # q_N
+            pl.BlockSpec((NX, block), lane_),        # dx0
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NX, block), fv_),
+            pl.BlockSpec((1, NU, block), fv_),
+            pl.BlockSpec((1, block), lane_),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, NX, Bt), dtype),
+            jax.ShapeDtypeStruct((N, NU, Bt), dtype),
+            jax.ShapeDtypeStruct((1, Bt), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NX, block), dtype),   # dx carry
+            pltpu.VMEM((1, block), dtype),    # dphi accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(Acl, K, bcl, kv, q, reff, qN, dx0)
+
+    dx = jnp.concatenate([dx0[None], dx_rest], axis=0)
+    aux = (jnp.squeeze(theta, 0), jnp.squeeze(phi, 0),
+           jnp.squeeze(maxdef, 0), jnp.squeeze(mincon, 0))
+    return dx, du, jnp.squeeze(dphi, 0), aux

@@ -1,0 +1,158 @@
+"""Fully fused SQP-iteration Pallas kernels vs the XLA SoA path.
+
+Covers ops/sqp_pallas.py (linearize + backward Riccati + forward rollout
+in two kernels) and models/merit_pallas.merit_alpha_pallas (line-search
+candidate merit with per-scenario alpha folded into the kernel).
+Validated in interpreter mode (same kernel program); TPU parity is gated
+end-to-end by bench.py's pallas-vs-xla full-solve check.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from srbd_nmpc_tpu.models import srbd
+from srbd_nmpc_tpu.nmpc import engine
+from srbd_nmpc_tpu.ops import riccati_soa
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(orig, interpret=True))
+    yield
+    monkeypatch.undo()
+
+
+def _setup(B, N, dtype=jnp.float32, seed=0):
+    cfg = engine.NmpcConfig(N=N)
+    params = srbd.SRBDParams.create(dt=0.015, dtype=dtype)
+    weights = engine.NmpcWeights.create(
+        [0] * 11 + [10], 1e-4,
+        [.5, .5, .5, .01, .01, .01, 100, 100, 100, 0, 0, 100], N, dtype)
+    x0, x_ref = engine.make_benchmark_problem(cfg, dtype)
+    rng = np.random.default_rng(seed)
+    states = engine.NmpcState(
+        x=jnp.asarray(rng.normal(size=(B, N + 1, 12)) * 0.3, dtype),
+        u=jnp.asarray(rng.normal(size=(B, N, 12)) * 30 + 80, dtype),
+        alpha=jnp.ones(B, dtype))
+    return cfg, params, weights, x0, x_ref, states, rng
+
+
+def _to_soa(states, x_ref, x0s, N, B):
+    xa = jnp.transpose(states.x, (1, 2, 0))
+    us = jnp.transpose(states.u, (1, 2, 0))
+    xra = jnp.broadcast_to(x_ref[:, :, None], (N + 1, srbd.NX, B))
+    return xa, us, xra, x0s.T - xa[0]
+
+
+def test_sqp_qp_solve_matches_xla(interpret_pallas):
+    from srbd_nmpc_tpu.ops import sqp_pallas
+
+    B, N = 128, 12
+    cfg, params, weights, x0, x_ref, states, rng = _setup(B, N)
+    x0s = jnp.asarray(np.asarray(x0)[None] + 0.02 * rng.normal(size=(B, 12)),
+                      jnp.float32)
+
+    A, Bm, b, Q, S, R, q, r, aux = engine._linearize_soa(
+        params, weights, cfg, states, x_ref)
+    xa, us, xra, dx0 = _to_soa(states, x_ref, x0s, N, B)
+    dx_s, du_s, _ = riccati_soa.lqr_solve(
+        A, Bm, b, Q, S, R, q, r, dx0, reg=cfg.reg)
+    dphi_s = jnp.sum(dx_s * q, axis=(0, 1)) + jnp.sum(du_s * r, axis=(0, 1))
+
+    Ac, bc = srbd.constraint_matrix(params)
+    dx_p, du_p, dphi_p, aux_p = sqp_pallas.sqp_qp_solve(
+        params, weights.Q, weights.Qf, weights.R, Ac, bc,
+        xa, us, xra, dx0, cfg.mu_barrier, cfg.theta_barrier,
+        reg=cfg.reg, block=128)
+
+    np.testing.assert_allclose(dx_p, dx_s, rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(du_p, du_s, rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(dphi_p, dphi_s, rtol=1e-3, atol=1e-2)
+    # aux = (theta, phi, max|defect|, min constraint) at the current iterate
+    for got, want, tol in zip(aux_p, aux, (2e-4, 2e-2, 1e-5, 1e-4)):
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=tol)
+
+
+def test_sqp_qp_solve_f64_exact(interpret_pallas):
+    """In f64 the fused kernel must agree with the XLA path to ~1e-9 —
+    the kernel runs the algebraically identical recursion."""
+    from srbd_nmpc_tpu.ops import sqp_pallas
+
+    B, N = 8, 6
+    cfg, params, weights, x0, x_ref, states, rng = _setup(B, N, jnp.float64)
+    x0s = jnp.asarray(np.asarray(x0)[None] + 0.02 * rng.normal(size=(B, 12)))
+
+    A, Bm, b, Q, S, R, q, r, _ = engine._linearize_soa(
+        params, weights, cfg, states, x_ref)
+    xa, us, xra, dx0 = _to_soa(states, x_ref, x0s, N, B)
+    dx_s, du_s, _ = riccati_soa.lqr_solve(
+        A, Bm, b, Q, S, R, q, r, dx0, reg=cfg.reg)
+
+    Ac, bc = srbd.constraint_matrix(params)
+    dx_p, du_p, _, _ = sqp_pallas.sqp_qp_solve(
+        params, weights.Q, weights.Qf, weights.R, Ac, bc,
+        xa, us, xra, dx0, cfg.mu_barrier, cfg.theta_barrier,
+        reg=cfg.reg, block=8)
+    np.testing.assert_allclose(dx_p, dx_s, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(du_p, du_s, rtol=1e-9, atol=1e-7)
+
+
+def test_merit_alpha_matches_soa(interpret_pallas):
+    from srbd_nmpc_tpu.models import merit_pallas
+
+    B, N = 128, 12
+    cfg, params, weights, _, x_ref, states, rng = _setup(B, N, seed=3)
+    xa, us, xra, _ = _to_soa(states, x_ref, jnp.zeros((B, 12)), N, B)
+    dx = jnp.asarray(rng.normal(size=(N + 1, 12, B)) * 0.05, jnp.float32)
+    du = jnp.asarray(rng.normal(size=(N, 12, B)) * 5.0, jnp.float32)
+    alpha = jnp.asarray(0.5 ** rng.integers(0, 6, size=B), jnp.float32)
+
+    th_s, ph_s = engine._merit_soa(
+        params, weights, cfg, xa + alpha[None, None] * dx,
+        us + alpha[None, None] * du, xra)
+    Ac, bc = srbd.constraint_matrix(params)
+    th_p, ph_p = merit_pallas.merit_alpha_pallas(
+        params, weights.Q, weights.Qf, weights.R, Ac, bc, xa, us, xra,
+        dx, du, alpha, cfg.mu_barrier, cfg.theta_barrier, block=128)
+    np.testing.assert_allclose(th_p, th_s, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ph_p, ph_s, rtol=1e-4, atol=2e-2)
+
+
+def test_engine_fused_solve_matches_xla(interpret_pallas):
+    """End-to-end: qp_kernel='fused' must reproduce the XLA engine bit
+    for bit in trajectory terms (f64: everything is the same recursion)."""
+    B = 4
+    cfg, params, weights, x0, x_ref, _, rng = _setup(B, 12, jnp.float64)
+    cfg = dataclasses.replace(cfg, qp_kernel="fused", pallas_block=4)
+    x0s = jnp.asarray(np.asarray(x0)[None] + 0.01 * rng.normal(size=(B, 12)))
+    states = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+        engine.NmpcState.initial(cfg.N, jnp.float64))
+    st_f, info_f = jax.jit(engine.solve, static_argnums=2)(
+        params, weights, cfg, states, x0s, x_ref)
+    cfg_x = dataclasses.replace(cfg, qp_kernel="xla")
+    st_x, info_x = jax.jit(engine.solve, static_argnums=2)(
+        params, weights, cfg_x, states, x0s, x_ref)
+    assert bool(jnp.all(info_f.converged))
+    assert bool(jnp.all(info_x.converged))
+    np.testing.assert_allclose(st_f.u, st_x.u, rtol=1e-8, atol=1e-7)
+    np.testing.assert_allclose(st_f.x, st_x.x, rtol=1e-8, atol=1e-9)
+
+
+def test_fused_eligibility_rules():
+    assert engine._fused_eligible(
+        engine.NmpcConfig(qp_kernel="fused"), 100)
+    # auto only engages on a TPU backend (tests run on CPU)
+    assert not engine._fused_eligible(
+        engine.NmpcConfig(qp_kernel="auto"), 4096)
+    with pytest.raises(ValueError, match="fused"):
+        engine.NmpcConfig(qp_kernel="fused", refine=1)
+    with pytest.raises(ValueError, match="fused"):
+        engine.NmpcConfig(qp_kernel="fused", sensitivity="rk4")
