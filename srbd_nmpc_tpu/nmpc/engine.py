@@ -715,7 +715,10 @@ def _sqp_step_soa(params, weights, cfg, xa, us, alpha, x0s, xra, active):
         from srbd_nmpc_tpu.ops import sqp_pallas
 
         Ac, bc = srbd.constraint_matrix(params)
-        dx, du, dphi, aux = sqp_pallas.sqp_qp_solve(
+        # one-pass variant: stage tensors VMEM-resident, 0.121 vs 0.177
+        # ms/call two-pass at B=4096 on chip (tools/bench_sqp_kernel.py),
+        # bitwise-identical outputs
+        dx, du, dphi, aux = sqp_pallas.sqp_qp_solve_onepass(
             params, weights.Q, weights.Qf, weights.R, Ac, bc,
             xa, us, xra, dx0s, cfg.mu_barrier, cfg.theta_barrier,
             reg=cfg.reg, block=cfg.pallas_block,

@@ -104,6 +104,31 @@ def test_sqp_qp_solve_f64_exact(interpret_pallas):
     np.testing.assert_allclose(du_p, du_s, rtol=1e-9, atol=1e-7)
 
 
+def test_sqp_qp_solve_onepass_matches_twopass(interpret_pallas):
+    """The single-kernel (VMEM-resident stages) variant must match the
+    two-kernel fused path to machine precision in f64 — identical
+    recursion, only the residency of the intermediate tensors differs
+    (tolerances absorb per-program XLA fma/fusion differences)."""
+    from srbd_nmpc_tpu.ops import sqp_pallas
+
+    B, N = 8, 6
+    cfg, params, weights, x0, x_ref, states, rng = _setup(B, N, jnp.float64)
+    x0s = jnp.asarray(np.asarray(x0)[None] + 0.02 * rng.normal(size=(B, 12)))
+    xa, us, xra, dx0 = _to_soa(states, x_ref, x0s, N, B)
+    Ac, bc = srbd.constraint_matrix(params)
+
+    args = (params, weights.Q, weights.Qf, weights.R, Ac, bc,
+            xa, us, xra, dx0, cfg.mu_barrier, cfg.theta_barrier)
+    dx2, du2, dphi2, aux2 = sqp_pallas.sqp_qp_solve(*args, reg=cfg.reg, block=8)
+    dx1, du1, dphi1, aux1 = sqp_pallas.sqp_qp_solve_onepass(
+        *args, reg=cfg.reg, block=8)
+    np.testing.assert_allclose(dx1, dx2, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(du1, du2, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(dphi1, dphi2, rtol=1e-12, atol=1e-12)
+    for a1, a2 in zip(aux1, aux2):
+        np.testing.assert_allclose(a1, a2, rtol=1e-12, atol=1e-13)
+
+
 def test_merit_alpha_matches_soa(interpret_pallas):
     from srbd_nmpc_tpu.models import merit_pallas
 
