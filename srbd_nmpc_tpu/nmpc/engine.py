@@ -113,6 +113,15 @@ class NmpcConfig:
     # kernel operand; larger blocks amortize per-grid-step overhead until
     # VMEM pressure bites)
     pallas_block: int = _static(default=256)
+    # speculative line-search acceptance (fused batched path only): each
+    # while-trip launches ONE fused kernel at the candidate point — its
+    # merit outputs decide the filter acceptance and, on acceptance, its
+    # QP outputs are the next iteration's direction, so the separate
+    # merit kernel disappears from the hot loop (~87% of iterations
+    # accept the first candidate; see NmpcInfo.ls_trips). Scenario-level
+    # semantics identical to the sequential loop (tests); False restores
+    # the iteration-synchronous loop.
+    speculative: bool = _static(default=True)
 
     # Convergence thresholds (NMPC_solver.cpp:267)
     conv_dphi: float = _static(default=-1e-3)
@@ -200,6 +209,10 @@ class NmpcInfo:
     max_defect: jnp.ndarray      # [...] — max |dynamics defect|
     min_constraint: jnp.ndarray  # [...] — most-negative friction-cone value
     status: jnp.ndarray          # [...] int32 — IpmStatus codes
+    # cumulative line-search merit evaluations (backtracking trips; in a
+    # batch every scenario pays for the slowest member's trips, so this is
+    # the launch count — the line-search cost driver)
+    ls_trips: jnp.ndarray        # [...] int32
 
     def pretty(self) -> str:
         """Human-readable report — the printOptimizationInfo analogue
@@ -217,6 +230,7 @@ class NmpcInfo:
             lines += [
                 f"status      : {names.get(int(stat), int(stat))}",
                 f"sqp_loop    : {int(np.asarray(self.sqp_iters))}",
+                f"ls_trips    : {int(np.asarray(self.ls_trips))}",
                 f"phi         : {float(np.asarray(self.phi)):.6e}",
                 f"dphi        : {float(np.asarray(self.dphi)):.6e}",
                 f"theta       : {float(np.asarray(self.theta)):.6e}",
@@ -235,6 +249,7 @@ class NmpcInfo:
                 f"status      : {counts}",
                 f"sqp_loop    : mean {float(np.mean(np.asarray(self.sqp_iters))):.2f}"
                 f"  max {int(np.max(np.asarray(self.sqp_iters)))}",
+                f"ls_trips    : max {int(np.max(np.asarray(self.ls_trips)))}",
                 f"phi         : max {float(np.max(np.asarray(self.phi))):.6e}",
                 f"theta       : max {float(np.max(np.asarray(self.theta))):.6e}",
                 f"alpha       : min {float(np.min(np.asarray(self.alpha))):.6e}",
@@ -565,12 +580,12 @@ def _line_search(params, weights, cfg, state: NmpcState, x_ref,
     alpha0 = state.alpha if cfg.persistent_alpha else jnp.ones_like(state.alpha)
 
     def cond(carry):
-        alpha, accepted, _, _ = carry
+        alpha, accepted, _, _, _ = carry
         searching = active0 & jnp.logical_not(accepted) & (alpha > cfg.alpha_min)
         return jnp.any(searching)
 
     def body(carry):
-        alpha, accepted, x_best, u_best = carry
+        alpha, accepted, x_best, u_best, trips = carry
         a = alpha[..., None, None]
         x_a = state.x + a * dx
         u_a = state.u + a * du
@@ -582,11 +597,12 @@ def _line_search(params, weights, cfg, state: NmpcState, x_ref,
         u_best = jnp.where(okk, u_a, u_best)
         new_alpha = jnp.where(searching & jnp.logical_not(ok),
                               cfg.beta_alpha * alpha, alpha)
-        return (new_alpha, accepted | ok, x_best, u_best)
+        return (new_alpha, accepted | ok, x_best, u_best, trips + 1)
 
-    init = (alpha0, jnp.zeros_like(alpha0, dtype=bool), state.x, state.u)
-    alpha_f, accepted, x_new, u_new = lax.while_loop(cond, body, init)
-    return NmpcState(x=x_new, u=u_new, alpha=alpha_f)
+    init = (alpha0, jnp.zeros_like(alpha0, dtype=bool), state.x, state.u,
+            jnp.asarray(0, jnp.int32))
+    alpha_f, accepted, x_new, u_new, trips = lax.while_loop(cond, body, init)
+    return NmpcState(x=x_new, u=u_new, alpha=alpha_f), trips
 
 
 def _accept(cfg: NmpcConfig, theta_a, phi_a, alpha, theta0, phi0, dphi):
@@ -658,28 +674,29 @@ def _line_search_soa(params, weights, cfg, xa, us, alpha0, xra,
     no [N,12,B] tensors live in the while-loop carry."""
 
     def cond(carry):
-        alpha, accepted = carry
+        alpha, accepted, _ = carry
         searching = active0 & jnp.logical_not(accepted) & (alpha > cfg.alpha_min)
         return jnp.any(searching)
 
     def body(carry):
-        alpha, accepted = carry
+        alpha, accepted, trips = carry
         theta_a, phi_a = _merit_candidate_soa(
             params, weights, cfg, xa, us, xra, dx, du, alpha, use_pallas)
         searching = active0 & jnp.logical_not(accepted) & (alpha > cfg.alpha_min)
         ok = _accept(cfg, theta_a, phi_a, alpha, theta0, phi0, dphi) & searching
         new_alpha = jnp.where(searching & jnp.logical_not(ok),
                               cfg.beta_alpha * alpha, alpha)
-        return (new_alpha, accepted | ok)
+        return (new_alpha, accepted | ok, trips + 1)
 
-    init = (alpha0, jnp.zeros(alpha0.shape, dtype=bool))
-    alpha_f, accepted = lax.while_loop(cond, body, init)
+    init = (alpha0, jnp.zeros(alpha0.shape, dtype=bool),
+            jnp.asarray(0, jnp.int32))
+    alpha_f, accepted, trips = lax.while_loop(cond, body, init)
     am = accepted[None, None, :]
     af = alpha_f[None, None, :]
     # where-guarded (not alpha*0): a frozen/NaN scenario's dx may be NaN
     x_new = jnp.where(am, xa + af * dx, xa)
     u_new = jnp.where(am, us + af * du, us)
-    return x_new, u_new, alpha_f
+    return x_new, u_new, alpha_f, trips
 
 
 def _sqp_step_soa(params, weights, cfg, xa, us, alpha, x0s, xra, active):
@@ -715,9 +732,10 @@ def _sqp_step_soa(params, weights, cfg, xa, us, alpha, x0s, xra, active):
         from srbd_nmpc_tpu.ops import sqp_pallas
 
         Ac, bc = srbd.constraint_matrix(params)
-        # one-pass variant: stage tensors VMEM-resident, 0.121 vs 0.177
-        # ms/call two-pass at B=4096 on chip (tools/bench_sqp_kernel.py),
-        # bitwise-identical outputs
+        # one-pass variant: stage tensors VMEM-resident; bitwise-identical
+        # to the two-pass kernel, measured 11.2 ms/call at B=16384
+        # (tools/profile_stages.py) and +2.8% end-to-end vs two-pass
+        # (BENCH 72.2k -> 74.3k solves/s)
         dx, du, dphi, aux = sqp_pallas.sqp_qp_solve_onepass(
             params, weights.Q, weights.Qf, weights.R, Ac, bc,
             xa, us, xra, dx0s, cfg.mu_barrier, cfg.theta_barrier,
@@ -747,12 +765,13 @@ def _sqp_step_soa(params, weights, cfg, xa, us, alpha, x0s, xra, active):
 
     nan = jnp.logical_not(jnp.isfinite(theta0 + phi0 + dphi))
     alpha0 = alpha if cfg.persistent_alpha else jnp.ones_like(alpha)
-    xa_n, us_n, alpha_n = _line_search_soa(
+    xa_n, us_n, alpha_n, trips = _line_search_soa(
         params, weights, cfg, xa, us, alpha0, xra, dx, du,
         theta0, phi0, dphi, active & jnp.logical_not(nan),
         use_pallas or use_fused,
     )
-    return xa_n, us_n, alpha_n, (theta0, phi0, dphi, max_defect, min_con, nan)
+    return xa_n, us_n, alpha_n, (theta0, phi0, dphi, max_defect, min_con, nan,
+                                 trips)
 
 
 def sqp_step(params: srbd.SRBDParams, weights: NmpcWeights, cfg: NmpcConfig,
@@ -785,7 +804,7 @@ def _sqp_step(params, weights, cfg, state, x0, x_ref, active):
         xa_n, us_n, alpha_n, aux = _sqp_step_soa(
             params, weights, cfg, xa, us, state.alpha,
             jnp.moveaxis(x0, 0, -1), xra, active)
-        theta0, phi0, dphi, max_defect, min_con, nan = aux
+        theta0, phi0, dphi, max_defect, min_con, nan, trips = aux
         new_state = NmpcState(x=jnp.transpose(xa_n, (2, 0, 1)),
                               u=jnp.transpose(us_n, (2, 0, 1)), alpha=alpha_n)
     else:
@@ -811,7 +830,7 @@ def _sqp_step(params, weights, cfg, state, x0, x_ref, active):
         nan = jnp.logical_not(jnp.isfinite(theta0 + phi0 + dphi))
         if active is None:
             active = jnp.ones(theta0.shape, dtype=bool)
-        new_state = _line_search(
+        new_state, trips = _line_search(
             params, weights, cfg, state, x_ref, dx, du, theta0, phi0, dphi,
             active & jnp.logical_not(nan)
         )
@@ -827,6 +846,7 @@ def _sqp_step(params, weights, cfg, state, x0, x_ref, active):
         max_defect=max_defect,
         min_constraint=min_con,
         status=status,
+        ls_trips=jnp.broadcast_to(trips, theta0.shape),
     )
     return new_state, info
 
@@ -873,7 +893,7 @@ def _solve_batched_soa(params, weights, cfg, state, x0, x_ref):
         act = info.status == STATUS_RUNNING
         xa_n, us_n, alpha_n, aux = _sqp_step_soa(
             params, weights, cfg, xa, us, alpha, x0s, xra, act)
-        theta0, phi0, dphi, max_defect, min_con, nan = aux
+        theta0, phi0, dphi, max_defect, min_con, nan, trips = aux
         converged = (dphi > cfg.conv_dphi) & (theta0 < cfg.conv_theta)
         step_status = jnp.where(
             converged, STATUS_SUCCESS,
@@ -898,6 +918,7 @@ def _solve_batched_soa(params, weights, cfg, state, x0, x_ref):
             max_defect=upd(max_defect, info.max_defect),
             min_constraint=upd(min_con, info.min_constraint),
             status=jnp.where(act, step_status, info.status),
+            ls_trips=info.ls_trips + trips,
         )
         return (xa2, us2, alpha2, info2, it + 1)
 
@@ -908,6 +929,7 @@ def _solve_batched_soa(params, weights, cfg, state, x0, x_ref):
         alpha=state.alpha,
         max_defect=zeros + jnp.inf, min_constraint=zeros - jnp.inf,
         status=jnp.full((Bn,), STATUS_RUNNING, jnp.int32),
+        ls_trips=jnp.zeros((Bn,), jnp.int32),
     )
     xa_f, us_f, alpha_f, info_f, _ = lax.while_loop(
         cond, body, (xa0, us0, state.alpha, dummy, jnp.asarray(0, jnp.int32))
@@ -922,8 +944,201 @@ def _solve_batched_soa(params, weights, cfg, state, x0, x_ref):
     return state_f, info_f
 
 
+def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
+    """Speculative-acceptance batched solve for the fused kernel path.
+
+    The iteration-synchronous loop (``_solve_batched_soa``) pays, per SQP
+    iteration, one fused QP kernel PLUS ~1.13 merit-kernel launches for
+    the backtracking line search. But the fused kernel already evaluates
+    the merit at the point it linearizes — so evaluate each scenario's
+    NEXT line-search candidate (x + alpha dx) directly with the fused
+    kernel (`sqp_qp_solve_onepass_cand`): its (theta, phi) decide the
+    filter acceptance, and on acceptance its QP solution IS the next
+    iteration's direction. Accepted trips (the common case) cost one
+    launch; rejected trips only halve alpha (the launch's QP outputs are
+    discarded, exactly the work the sequential loop would redo anyway at
+    the next accepted point).
+
+    Per-scenario semantics are exactly the reference's sequential SQP +
+    backtracking filter line search (NMPC_solver.cpp:200-274): candidates
+    are tried in the same alpha order with the same acceptance rule and
+    the same freeze/convergence transitions (verified bitwise against the
+    synchronous loop in tests/test_sqp_pallas.py). Two DIAGNOSTIC-only
+    differences: ``ls_trips`` counts fused-kernel launches (not merit
+    evaluations), and a scenario whose line search bottoms out at
+    alpha_min freezes immediately with ``sqp_iters = sqp_max_iter``
+    instead of burning the remaining iterations re-linearizing the same
+    point (identical trajectories/status either way).
+    """
+    from srbd_nmpc_tpu.ops import sqp_pallas
+
+    Bn = state.x.shape[0]
+    dtype = state.x.dtype
+    xa0 = jnp.transpose(state.x, (1, 2, 0))
+    us0 = jnp.transpose(state.u, (1, 2, 0))
+    x0s = jnp.moveaxis(x0, 0, -1)
+    if x_ref.ndim == 2:
+        xra = jnp.broadcast_to(x_ref[:, :, None], (cfg.N + 1, srbd.NX, Bn))
+    else:
+        xra = jnp.transpose(x_ref, (1, 2, 0))
+    Ac, bc = srbd.constraint_matrix(params)
+    max_it = jnp.asarray(cfg.sqp_max_iter, jnp.int32)
+
+    # ---- bootstrap: iteration 1's linearize+QP at the initial iterate ----
+    dx_p, du_p, dphi_p, aux = sqp_pallas.sqp_qp_solve_onepass(
+        params, weights.Q, weights.Qf, weights.R, Ac, bc,
+        xa0, us0, xra, x0s - xa0[0], cfg.mu_barrier, cfg.theta_barrier,
+        reg=cfg.reg, block=cfg.pallas_block)
+    th_p, ph_p, md_p, mc_p = aux
+    nan0 = jnp.logical_not(jnp.isfinite(th_p + ph_p + dphi_p))
+    conv_p = (dphi_p > cfg.conv_dphi) & (th_p < cfg.conv_theta)
+    live = jnp.logical_not(nan0)
+    status = jnp.where(nan0, STATUS_NAN_DETECTED, STATUS_RUNNING
+                       ).astype(jnp.int32)
+    iters = jnp.where(nan0, 1, 0).astype(jnp.int32)
+    alpha_acc = state.alpha
+    alpha_cand = (state.alpha if cfg.persistent_alpha
+                  else jnp.ones_like(state.alpha))
+    # info fields (written at freeze/acceptance transitions)
+    i_th, i_ph, i_dphi = th_p, ph_p, dphi_p
+    i_md, i_mc = md_p, mc_p
+    converged = jnp.zeros((Bn,), bool)
+    trips = jnp.asarray(0, jnp.int32)
+    # safety cap: alpha is halved at most ~log2(alpha0/alpha_min) times
+    # per iteration (once TOTAL with persistent alpha), so this is slack
+    trip_cap = cfg.sqp_max_iter * (2 if cfg.persistent_alpha else 16) + 16
+
+    def cond(carry):
+        _, live, _, trips = carry
+        return jnp.any(live) & (trips < trip_cap)
+
+    def body(carry):
+        (xa, us, dx_p, du_p, dphi_p, th_p, ph_p, md_p, mc_p), live, \
+            (status, iters, conv_p, alpha_acc, alpha_cand,
+             i_th, i_ph, i_dphi, i_md, i_mc, converged), trips = carry
+
+        searching = live & (alpha_cand > cfg.alpha_min)
+        dx_c, du_c, dphi_c, aux_c = sqp_pallas.sqp_qp_solve_onepass_cand(
+            params, weights.Q, weights.Qf, weights.R, Ac, bc,
+            xa, us, xra, dx_p, du_p, alpha_cand, x0s,
+            cfg.mu_barrier, cfg.theta_barrier,
+            reg=cfg.reg, block=cfg.pallas_block)
+        th_c, ph_c, md_c, mc_c = aux_c
+
+        ok = _accept(cfg, th_c, ph_c, alpha_cand, th_p, ph_p, dphi_p) \
+            & searching
+        reject = searching & jnp.logical_not(ok)
+        alpha_next = jnp.where(reject, cfg.beta_alpha * alpha_cand,
+                               alpha_cand)
+
+        # --- acceptance: step, then freeze/continue transitions ---------
+        m3 = ok[None, None, :]
+        af = alpha_cand[None, None, :]
+        xa2 = jnp.where(m3, xa + af * dx_p, xa)
+        us2 = jnp.where(m3, us + af * du_p, us)
+        alpha_acc2 = jnp.where(ok, alpha_cand, alpha_acc)
+        iters2 = iters + ok.astype(jnp.int32)
+
+        conv_c = (dphi_c > cfg.conv_dphi) & (th_c < cfg.conv_theta)
+        nan_c = jnp.logical_not(jnp.isfinite(th_c + ph_c + dphi_c))
+
+        succ = ok & conv_p                       # converged at prev iterate
+        maxed = ok & jnp.logical_not(conv_p) & (iters2 >= max_it)
+        nanfr = (ok & jnp.logical_not(conv_p) & (iters2 < max_it) & nan_c)
+        cont = ok & jnp.logical_not(succ | maxed | nanfr)
+
+        # --- rejection bottoming out at alpha_min (or entering the loop
+        # already at the floor, e.g. a warm start with a tiny persistent
+        # alpha: the synchronous loop burns iterations without moving) ---
+        stalled = ((reject & (alpha_next <= cfg.alpha_min))
+                   | (live & jnp.logical_not(searching)))
+        succ2 = stalled & conv_p
+        minstep = stalled & jnp.logical_not(conv_p)
+        alpha_acc2 = jnp.where(stalled, alpha_next, alpha_acc2)
+
+        status2 = jnp.where(
+            succ | succ2, STATUS_SUCCESS,
+            jnp.where(nanfr, STATUS_NAN_DETECTED,
+                      jnp.where(minstep, STATUS_MIN_STEP, status))
+        ).astype(jnp.int32)
+        iters3 = jnp.where(nanfr | succ2, iters2 + 1,
+                           jnp.where(minstep, max_it, iters2))
+        live2 = live & jnp.logical_not(succ | succ2 | maxed | nanfr
+                                       | minstep)
+        converged2 = converged | succ | succ2
+
+        # --- info bookkeeping (match the synchronous loop's final info:
+        # acceptance-frozen scenarios report the PRE-step point's values;
+        # nan/stall-frozen ones report the current pending values) -------
+        acc_info = succ | maxed | cont           # pre-step values + alpha
+        oth_info = nanfr | succ2 | minstep       # current pending values
+        def wr(prev_val, pend_val, cand_val):
+            return jnp.where(acc_info, pend_val,
+                             jnp.where(oth_info, cand_val, prev_val))
+        i_th2 = wr(i_th, th_p, jnp.where(nanfr, th_c, th_p))
+        i_ph2 = wr(i_ph, ph_p, jnp.where(nanfr, ph_c, ph_p))
+        i_dphi2 = wr(i_dphi, dphi_p, jnp.where(nanfr, dphi_c, dphi_p))
+        i_md2 = wr(i_md, md_p, jnp.where(nanfr, md_c, md_p))
+        i_mc2 = wr(i_mc, mc_p, jnp.where(nanfr, mc_c, mc_p))
+
+        # --- pending state: accepted scenarios adopt the candidate ------
+        mp = (cont | nanfr)[None, None, :]
+        dx_p2 = jnp.where(mp, dx_c, dx_p)
+        du_p2 = jnp.where(mp, du_c, du_p)
+        up = cont | nanfr
+        th_p2 = jnp.where(up, th_c, th_p)
+        ph_p2 = jnp.where(up, ph_c, ph_p)
+        dphi_p2 = jnp.where(up, dphi_c, dphi_p)
+        md_p2 = jnp.where(up, md_c, md_p)
+        mc_p2 = jnp.where(up, mc_c, mc_p)
+        conv_p2 = jnp.where(cont, conv_c, conv_p)
+
+        alpha_cand2 = jnp.where(
+            ok, alpha_cand if cfg.persistent_alpha
+            else jnp.ones_like(alpha_cand), alpha_next)
+
+        return ((xa2, us2, dx_p2, du_p2, dphi_p2, th_p2, ph_p2, md_p2,
+                 mc_p2), live2,
+                (status2, iters3, conv_p2, alpha_acc2, alpha_cand2,
+                 i_th2, i_ph2, i_dphi2, i_md2, i_mc2, converged2),
+                trips + 1)
+
+    init = ((xa0, us0, dx_p, du_p, dphi_p, th_p, ph_p, md_p, mc_p), live,
+            (status, iters, conv_p, alpha_acc, alpha_cand,
+             i_th, i_ph, i_dphi, i_md, i_mc, converged),
+            trips)
+    (xa_f, us_f, *_), live_f, \
+        (status_f, iters_f, _, alpha_f, alpha_cand_f,
+         f_th, f_ph, f_dphi, f_md, f_mc, converged_f), trips_f = \
+        lax.while_loop(cond, body, init)
+
+    # live scenarios that hit the trip cap (shouldn't happen) and any
+    # residual RUNNING-at-alpha-floor cases report the stall distinctly
+    stalled = ((status_f == STATUS_RUNNING)
+               & (alpha_cand_f <= cfg.alpha_min))
+    status_f = jnp.where(stalled, STATUS_MIN_STEP, status_f
+                         ).astype(jnp.int32)
+    info = NmpcInfo(
+        converged=converged_f,
+        sqp_iters=iters_f,
+        theta=f_th, phi=f_ph, dphi=f_dphi,
+        alpha=alpha_f,
+        max_defect=f_md, min_constraint=f_mc,
+        status=status_f,
+        ls_trips=jnp.broadcast_to(1 + trips_f, (Bn,)).astype(jnp.int32),
+    )
+    state_f = NmpcState(x=jnp.transpose(xa_f, (2, 0, 1)),
+                        u=jnp.transpose(us_f, (2, 0, 1)), alpha=alpha_f)
+    return state_f, info
+
+
 def _solve(params, weights, cfg, state, x0, x_ref):
     if state.x.ndim == 3:
+        Bn = state.x.shape[0]
+        if (cfg.speculative and not _pscan_selected(cfg)
+                and _fused_eligible(cfg, Bn)):
+            return _solve_batched_soa_spec(params, weights, cfg, state,
+                                           x0, x_ref)
         return _solve_batched_soa(params, weights, cfg, state, x0, x_ref)
     zeros = jnp.zeros(state.alpha.shape, state.x.dtype)
 
@@ -951,6 +1166,7 @@ def _solve(params, weights, cfg, state, x0, x_ref):
             max_defect=upd(step.max_defect, info.max_defect),
             min_constraint=upd(step.min_constraint, info.min_constraint),
             status=jnp.where(act, step.status, info.status),
+            ls_trips=info.ls_trips + step.ls_trips,
         )
         return (st2, info2, it + 1)
 
@@ -961,6 +1177,7 @@ def _solve(params, weights, cfg, state, x0, x_ref):
         alpha=state.alpha,
         max_defect=zeros + jnp.inf, min_constraint=zeros - jnp.inf,
         status=jnp.full(state.alpha.shape, STATUS_RUNNING, jnp.int32),
+        ls_trips=jnp.zeros(state.alpha.shape, jnp.int32),
     )
     state_f, info_f, _ = lax.while_loop(
         cond, body, (state, dummy, jnp.asarray(0, jnp.int32))

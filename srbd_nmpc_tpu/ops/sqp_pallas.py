@@ -312,6 +312,234 @@ def _onepass_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
             dphi_ref[...] = tot + jnp.sum(dxn * qN_scr[...], axis=0)[None]
 
 
+def _onepass_cand_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
+                         Qw_ref, Qf_ref, x_ref, xn_ref, u_ref, xr_ref,
+                         xrN_ref, dxc_in_ref, dxcn_in_ref, duc_in_ref,
+                         alpha_ref, dx0_ref,
+                         dx_ref, du_ref, dphi_ref,
+                         theta_ref, phi_ref, maxdef_ref, mincon_ref,
+                         P_scr, p_scr, acc_scr, Acl_scr, K_scr, bcl_scr,
+                         kv_scr, q_scr, reff_scr, qN_scr, dxc_scr, dacc_scr,
+                         mu_b: float, theta_b: float, reg: float, N: int):
+    """``_onepass_kernel`` evaluated at the LINE-SEARCH CANDIDATE
+    (x + alpha dxc, u + alpha duc) with a per-scenario alpha, the
+    candidate folded into the stage loads so the trial trajectory never
+    materializes in HBM (same trick as merit_pallas._kernel_alpha).
+
+    This powers the speculative-acceptance SQP loop: the kernel's merit
+    outputs (theta, phi at the candidate) decide the filter acceptance,
+    and on acceptance its QP outputs ARE the next iteration's step — one
+    launch does line-search trial AND next linearize+Riccati. Deliberate
+    near-duplicate of ``_onepass_kernel`` (a shared parameterized body
+    would obscure the Mosaic-sensitive structure both kernels rely on)."""
+    g = pl.program_id(1)
+    dtype = x_ref.dtype
+    block = x_ref.shape[-1]
+
+    def widen(c):
+        return jnp.broadcast_to(c[..., None], c.shape + (block,))
+
+    @pl.when(g < N)
+    def _backward():
+        a = alpha_ref[...]                                  # [1, block]
+        x = jnp.squeeze(x_ref[...], 0) + a * jnp.squeeze(dxc_in_ref[...], 0)
+        xn = jnp.squeeze(xn_ref[...], 0) + a * jnp.squeeze(dxcn_in_ref[...], 0)
+        u = jnp.squeeze(u_ref[...], 0) + a * jnp.squeeze(duc_in_ref[...], 0)
+        xr = jnp.squeeze(xr_ref[...], 0)
+        params = _params_from_refs(scal_ref, iinv_ref, foot_ref, dtype)
+
+        A, B = srbd_soa.euler_AB(params, x, u)
+        b = srbd_soa.rk4(params, x, u) - xn
+        Ac_b = widen(Ac_ref[...])
+        con = sm.mv(Ac_b, u) + bc_ref[...]
+        b_bar, db, ddb = relaxed_log_barrier(con, mu_b, theta_b)
+        Rw_b = widen(Rw_ref[...])
+        Reff = Rw_b + sm.mtm(Ac_b, Ac_b * ddb[:, None])
+        Ru = sm.mv(Rw_b, u)
+        reff = Ru + sm.mtv(Ac_b, db)
+        Qw_b = widen(Qw_ref[...])
+        q = sm.mv(Qw_b, x - xr)
+
+        eN = xn - jnp.squeeze(xrN_ref[...], 0)
+        qN = sm.mv(widen(Qf_ref[...]), eN)
+
+        @pl.when(g == 0)
+        def _():
+            P_scr[...] = widen(Qf_ref[...])
+            p_scr[...] = qN
+            qN_scr[...] = qN
+
+        P = P_scr[...]
+        p = p_scr[...]
+        eye_reg = jnp.asarray(reg, dtype) * jnp.eye(NX, dtype=dtype)[:, :, None]
+        PA = sm.mm(P, A)
+        PB = sm.mm(P, B)
+        G = Reff + sm.mtm(B, PB) + eye_reg
+        H = sm.mtm(B, PA)
+        L, dinv = sm.cholesky(G)
+        K = -sm.chol_solve(L, dinv, H)
+        Pb_p = sm.mv(P, b) + p
+        kv = -jnp.squeeze(
+            sm.chol_solve(L, dinv, (sm.mtv(B, Pb_p) + reff)[:, None, :]), 1)
+        P_new = Qw_b + sm.mtm(A, PA) + sm.mtm(H, K)
+        P_scr[...] = 0.5 * (P_new + jnp.swapaxes(P_new, 0, 1))
+        p_scr[...] = q + sm.mtv(A, Pb_p) + sm.mtv(H, kv)
+
+        k = N - 1 - g
+        Acl_scr[pl.ds(k, 1)] = (A + sm.mm(B, K))[None]
+        K_scr[pl.ds(k, 1)] = K[None]
+        bcl_scr[pl.ds(k, 1)] = (b + sm.mv(B, kv))[None]
+        kv_scr[pl.ds(k, 1)] = kv[None]
+        q_scr[pl.ds(k, 1)] = q[None]
+        reff_scr[pl.ds(k, 1)] = reff[None]
+
+        is_first = g == 0
+        acc = acc_scr[...]
+        th_part = 0.5 * jnp.sum(b * b, axis=0)
+        ph_part = (jnp.sum(b_bar, axis=0) + 0.5 * jnp.sum(u * Ru, axis=0)
+                   + 0.5 * jnp.sum((x - xr) * q, axis=0))
+        phiN = 0.5 * jnp.sum(eN * qN, axis=0)
+        zero = jnp.zeros((), dtype)
+        th = jnp.where(is_first, zero, sm.row(acc, 0)) + th_part
+        ph = jnp.where(is_first, phiN, sm.row(acc, 1)) + ph_part
+        md = jnp.maximum(jnp.where(is_first, zero, sm.row(acc, 2)),
+                         jnp.max(jnp.abs(b), axis=0))
+        mc = jnp.minimum(
+            jnp.where(is_first, jnp.asarray(1e30, dtype), sm.row(acc, 3)),
+            jnp.min(con, axis=0))
+        acc_scr[...] = jnp.stack([th, ph, md, mc])
+
+        @pl.when(g == N - 1)
+        def _():
+            theta_ref[...] = th[None]
+            phi_ref[...] = ph[None]
+            maxdef_ref[...] = md[None]
+            mincon_ref[...] = mc[None]
+
+    @pl.when(g >= N)
+    def _forward():
+        k = g - N
+        dx = jnp.where(g == N, dx0_ref[...], dxc_scr[...])
+        prev = jnp.where(g == N, jnp.zeros((1, block), dtype), dacc_scr[...])
+        K = jnp.squeeze(K_scr[pl.ds(k, 1)], 0)
+        du = sm.mv(K, dx) + jnp.squeeze(kv_scr[pl.ds(k, 1)], 0)
+        Acl = jnp.squeeze(Acl_scr[pl.ds(k, 1)], 0)
+        dxn = sm.mv(Acl, dx) + jnp.squeeze(bcl_scr[pl.ds(k, 1)], 0)
+        part = (jnp.sum(dx * jnp.squeeze(q_scr[pl.ds(k, 1)], 0), axis=0)
+                + jnp.sum(du * jnp.squeeze(reff_scr[pl.ds(k, 1)], 0), axis=0))
+        tot = prev + part[None]
+        dacc_scr[...] = tot
+        du_ref[...] = du[None]
+        dx_ref[...] = dxn[None]
+        dxc_scr[...] = dxn
+
+        @pl.when(g == 2 * N - 1)
+        def _():
+            dphi_ref[...] = tot + jnp.sum(dxn * qN_scr[...], axis=0)[None]
+
+
+def sqp_qp_solve_onepass_cand(
+    params: SRBDParams, Q_w: jnp.ndarray, Qf_w: jnp.ndarray, R_w: jnp.ndarray,
+    Ac: jnp.ndarray, bc: jnp.ndarray,
+    xa: jnp.ndarray, us: jnp.ndarray, xra: jnp.ndarray,
+    dxc: jnp.ndarray, duc: jnp.ndarray, alpha: jnp.ndarray,
+    x0s: jnp.ndarray,
+    mu_b: float, theta_b: float, reg: float = 0.0, block: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+    """Fused SQP QP solve AT THE CANDIDATE (xa + alpha dxc, us + alpha duc).
+
+    Same contract as ``sqp_qp_solve_onepass`` but evaluated at the trial
+    point, with ``alpha`` per scenario [Bt] and ``x0s`` the raw initial
+    states [12, Bt] (the kernel's dx0 is x0s - candidate x_0, formed
+    here). Returns (dx, du, dphi, (theta, phi, max|defect|, min_con)) —
+    merit AND next-step QP solution at the candidate in one launch."""
+    N = us.shape[0]
+    Bt = xa.shape[-1]
+    assert Bt % block == 0, (Bt, block)
+    dtype = xa.dtype
+
+    scal = jnp.stack([
+        params.mass, params.dt, params.mu, params.lfx, params.lfz,
+        params.fmax, params.fmin, jnp.asarray(0.0, dtype),
+    ]).reshape(_NPARAM, 1)
+
+    dx0 = x0s - (xa[0] + alpha[None, :] * dxc[0])
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda i, g: (0,) * len(shape))
+    rv_ = lambda i, g: ((N - 1 - g) % N, 0, i)       # stage k = N-1-g (bwd)
+    rv1_ = lambda i, g: ((N - g) % (N + 1), 0, i)    # stage k+1 (bwd)
+    bN_ = lambda i, g: (N, 0, i)
+    lane_ = lambda i, g: (0, i)
+    fv_ = lambda i, g: ((g - N) % N, 0, i)           # stage k = g-N (fwd)
+
+    in_specs = [
+        const(_NPARAM, 1), const(3, 3), const(2, 3),
+        const(NG, NU), pl.BlockSpec((NG, 1), lambda i, g: (0, 0)),
+        const(NU, NU), const(NX, NX), const(NX, NX),
+        pl.BlockSpec((1, NX, block), rv_),     # x_k
+        pl.BlockSpec((1, NX, block), rv1_),    # x_{k+1}
+        pl.BlockSpec((1, NU, block), rv_),     # u_k
+        pl.BlockSpec((1, NX, block), rv_),     # xr_k
+        pl.BlockSpec((1, NX, block), bN_),     # xr_N
+        pl.BlockSpec((1, NX, block), rv_),     # dxc_k
+        pl.BlockSpec((1, NX, block), rv1_),    # dxc_{k+1}
+        pl.BlockSpec((1, NU, block), rv_),     # duc_k
+        pl.BlockSpec((1, block), lane_),       # alpha
+        pl.BlockSpec((NX, block), lane_),      # dx0
+    ]
+    out_specs = [
+        pl.BlockSpec((1, NX, block), fv_),     # dx_{k+1}
+        pl.BlockSpec((1, NU, block), fv_),     # du_k
+        pl.BlockSpec((1, block), lane_),       # dphi
+        pl.BlockSpec((1, block), lane_),       # theta
+        pl.BlockSpec((1, block), lane_),       # phi
+        pl.BlockSpec((1, block), lane_),       # max |defect|
+        pl.BlockSpec((1, block), lane_),       # min constraint
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((N, NX, Bt), dtype),
+        jax.ShapeDtypeStruct((N, NU, Bt), dtype),
+        jax.ShapeDtypeStruct((1, Bt), dtype),
+        jax.ShapeDtypeStruct((1, Bt), dtype),
+        jax.ShapeDtypeStruct((1, Bt), dtype),
+        jax.ShapeDtypeStruct((1, Bt), dtype),
+        jax.ShapeDtypeStruct((1, Bt), dtype),
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_onepass_cand_kernel, mu_b=mu_b, theta_b=theta_b,
+                          reg=reg, N=N),
+        grid=(Bt // block, 2 * N),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((NX, NX, block), dtype),      # P carry
+            pltpu.VMEM((NX, block), dtype),          # p carry
+            pltpu.VMEM((4, block), dtype),           # merit accumulators
+            pltpu.VMEM((N, NX, NX, block), dtype),   # Acl, all stages
+            pltpu.VMEM((N, NU, NX, block), dtype),   # K, all stages
+            pltpu.VMEM((N, NX, block), dtype),       # bcl
+            pltpu.VMEM((N, NU, block), dtype),       # k
+            pltpu.VMEM((N, NX, block), dtype),       # q
+            pltpu.VMEM((N, NU, block), dtype),       # r_eff
+            pltpu.VMEM((NX, block), dtype),          # q_N
+            pltpu.VMEM((NX, block), dtype),          # dx carry
+            pltpu.VMEM((1, block), dtype),           # dphi accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(scal, params.inertia_inv.astype(dtype), params.foot_pos.astype(dtype),
+      Ac.astype(dtype), bc.astype(dtype).reshape(NG, 1),
+      R_w.astype(dtype), Q_w.astype(dtype), Qf_w.astype(dtype),
+      xa, xa, us, xra, xra, dxc, dxc, duc, alpha.reshape(1, Bt), dx0)
+    dx_rest, du, dphi, theta, phi, maxdef, mincon = outs
+    dx = jnp.concatenate([dx0[None], dx_rest], axis=0)
+    aux = (jnp.squeeze(theta, 0), jnp.squeeze(phi, 0),
+           jnp.squeeze(maxdef, 0), jnp.squeeze(mincon, 0))
+    return dx, du, jnp.squeeze(dphi, 0), aux
+
+
 def sqp_qp_solve_onepass(
     params: SRBDParams, Q_w: jnp.ndarray, Qf_w: jnp.ndarray, R_w: jnp.ndarray,
     Ac: jnp.ndarray, bc: jnp.ndarray,

@@ -181,3 +181,38 @@ def test_fused_eligibility_rules():
         engine.NmpcConfig(qp_kernel="fused", refine=1)
     with pytest.raises(ValueError, match="fused"):
         engine.NmpcConfig(qp_kernel="fused", sensitivity="rk4")
+
+
+def test_engine_speculative_matches_synchronous(interpret_pallas):
+    """The speculative-acceptance loop must reproduce the
+    iteration-synchronous fused loop exactly: same trajectories, same
+    converged set, same status, same final alpha (it evaluates the same
+    candidate sequence with the same acceptance rule, just pipelined into
+    the fused kernel). Perturbed x0 batch so scenarios take different
+    trip patterns; tight sqp_max_iter so some scenarios exhaust it."""
+    B = 8
+    cfg, params, weights, x0, x_ref, _, rng = _setup(B, 12, jnp.float64)
+    cfg = dataclasses.replace(cfg, qp_kernel="fused", pallas_block=4,
+                              sqp_max_iter=6)
+    x0s = jnp.asarray(np.asarray(x0)[None] + 0.05 * rng.normal(size=(B, 12)))
+    states = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+        engine.NmpcState.initial(cfg.N, jnp.float64))
+    cfg_spec = dataclasses.replace(cfg, speculative=True)
+    cfg_sync = dataclasses.replace(cfg, speculative=False)
+    st_s, info_s = jax.jit(engine.solve, static_argnums=2)(
+        params, weights, cfg_spec, states, x0s, x_ref)
+    st_y, info_y = jax.jit(engine.solve, static_argnums=2)(
+        params, weights, cfg_sync, states, x0s, x_ref)
+    np.testing.assert_allclose(st_s.u, st_y.u, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(st_s.x, st_y.x, rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(info_s.converged),
+                                  np.asarray(info_y.converged))
+    np.testing.assert_array_equal(np.asarray(info_s.status),
+                                  np.asarray(info_y.status))
+    np.testing.assert_allclose(np.asarray(st_s.alpha), np.asarray(st_y.alpha),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(info_s.theta),
+                               np.asarray(info_y.theta), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(info_s.dphi),
+                               np.asarray(info_y.dphi), rtol=1e-9, atol=1e-12)

@@ -47,36 +47,41 @@ def main():
     REPS = 50
     with jax.default_matmul_precision("float32"):
         raw = {
-            "twopass": lambda d0: sqp_pallas.sqp_qp_solve(
+            "twopass": lambda xa_in: sqp_pallas.sqp_qp_solve(
                 params, weights.Q, weights.Qf, weights.R, Ac, bc,
-                xa, us, xra, d0, cfg.mu_barrier, cfg.theta_barrier,
+                xa_in, us, xra, dx0, cfg.mu_barrier, cfg.theta_barrier,
                 reg=cfg.reg, block=256),
-            "onepass": lambda d0: sqp_pallas.sqp_qp_solve_onepass(
+            "onepass": lambda xa_in: sqp_pallas.sqp_qp_solve_onepass(
                 params, weights.Q, weights.Qf, weights.R, Ac, bc,
-                xa, us, xra, d0, cfg.mu_barrier, cfg.theta_barrier,
+                xa_in, us, xra, dx0, cfg.mu_barrier, cfg.theta_barrier,
                 reg=cfg.reg, block=256),
         }
         outs = {}
         for name, f in raw.items():
-            # fori_loop with the output feeding the next call's dx0:
-            # amortizes the remote-dispatch overhead (sub-ms one-shot
-            # timings through the tunnel are meaningless) and defeats DCE
-            # (pallas_call is opaque — any live output keeps the call)
-            def body(_, d0, f=f):
-                dx, _, _, _ = f(d0)
-                return dx0 + 1e-6 * dx[1]
+            # fori_loop with the output perturbing the next call's
+            # TRAJECTORY input: amortizes the remote-dispatch overhead
+            # (sub-ms one-shot timings through the tunnel are meaningless)
+            # and defeats DCE/hoisting. NOTE: an earlier version carried
+            # only dx0 (which feeds just the forward phase) and printed
+            # impossibly fast numbers (0.121 ms/call at B=4096, ~20x above
+            # any VPU roofline; tools/profile_stages.py measures 11.2
+            # ms/call at B=16384) — perturb the MAIN operand and
+            # sanity-check against profile_stages.py.
+            def body(_, acc, f=f):
+                dx, _, _, _ = f(acc)
+                return acc + 1e-20 * dx[1][None]
 
             looped = jax.jit(
-                lambda d0: jax.lax.fori_loop(0, REPS, body, d0))
+                lambda xa_in, body=body: jax.lax.fori_loop(0, REPS, body, xa_in))
             t0 = time.perf_counter()
-            jax.block_until_ready(looped(dx0))
+            jax.block_until_ready(looped(xa))
             compile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
-            jax.block_until_ready(looped(dx0))
+            jax.block_until_ready(looped(xa))
             per_call = (time.perf_counter() - t0) / REPS * 1e3
             print(f"{name}: {per_call:.3f} ms/call (compile {compile_s:.1f}s, "
                   f"B={B}, N={N}, {REPS} reps in-loop)")
-            outs[name] = jax.block_until_ready(jax.jit(f)(dx0))
+            outs[name] = jax.block_until_ready(jax.jit(f)(xa))
 
     du_err = float(jnp.max(jnp.abs(outs["onepass"][1] - outs["twopass"][1])))
     dx_err = float(jnp.max(jnp.abs(outs["onepass"][0] - outs["twopass"][0])))

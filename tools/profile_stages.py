@@ -112,6 +112,49 @@ def main():
             return acc + th[0] * 1e-20
         return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0, dtype))
 
+    # --- stage: fused one-pass SQP QP kernel (the engine's round-3 path) ---
+    from srbd_nmpc_tpu.ops import sqp_pallas
+    dxs_t = jnp.zeros_like(xs_t)
+    dus_t = jnp.zeros_like(us_t)
+    alpha_b = jnp.ones((B,), dtype)
+
+    @jax.jit
+    def onepass_loop(xs_t, us_t, xr_t, dx0s):
+        def body(i, acc):
+            with jax.default_matmul_precision("float32"):
+                dx, du, dphi, aux = sqp_pallas.sqp_qp_solve_onepass(
+                    params, weights.Q, weights.Qf, weights.R, Ac, bc,
+                    xs_t + acc * 0, us_t, xr_t, dx0s,
+                    cfg.mu_barrier, cfg.theta_barrier, reg=1e-9, block=256)
+            return acc + du[0, 0, 0] * 1e-20
+        return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0, dtype))
+
+    # --- stage: alpha-folded line-search merit kernel ---
+    @jax.jit
+    def merit_alpha_loop(xs_t, us_t, xr_t, dxs_t, dus_t, alpha_b):
+        def body(i, acc):
+            with jax.default_matmul_precision("float32"):
+                th, ph = merit_pallas.merit_alpha_pallas(
+                    params, weights.Q, weights.Qf, weights.R, Ac, bc,
+                    xs_t + acc * 0, us_t, xr_t, dxs_t, dus_t, alpha_b,
+                    cfg.mu_barrier, cfg.theta_barrier, block=256)
+            return acc + th[0] * 1e-20
+        return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0, dtype))
+
+    # --- stage: one full SoA sqp step (incl. line search + masking glue) ---
+    x0s_t = jnp.moveaxis(x0s, 0, -1)
+    act_b = jnp.ones((B,), bool)
+
+    @jax.jit
+    def step_soa_loop(xs_t, us_t, xr_t, x0s_t):
+        def body(i, carry):
+            xa, us, al = carry
+            with jax.default_matmul_precision("float32"):
+                xa2, us2, al2, _ = engine._sqp_step_soa(
+                    params, weights, cfg, xa, us, al, x0s_t, xr_t, act_b)
+            return (xa2, us2, al2)
+        return jax.lax.fori_loop(0, reps, body, (xs_t, us_t, alpha_b))
+
     # --- stage: one full sqp_step ---
     @jax.jit
     def step_loop(state, x0s, x_ref):
@@ -135,6 +178,13 @@ def main():
     t_linp = timed("linearize_pallas (fused)", lambda: lin_pallas_loop(state, x_ref), reps)
     t_ric = timed("riccati lqr_solve_pallas", lambda: ric_loop(A, Bm, b, R, q, r, dx0s), reps)
     t_mer = timed("merit_pallas (line-search eval)", lambda: merit_loop(xs_t, us_t, xr_t), reps)
+    t_one = timed("sqp_qp_solve_onepass (fused)",
+                  lambda: onepass_loop(xs_t, us_t, xr_t, dx0s), reps)
+    t_mal = timed("merit_alpha_pallas (ls candidate)",
+                  lambda: merit_alpha_loop(xs_t, us_t, xr_t, dxs_t, dus_t,
+                                           alpha_b), reps)
+    t_ssoa = timed("full SoA sqp step (fused+ls+glue)",
+                   lambda: step_soa_loop(xs_t, us_t, xr_t, x0s_t), reps)
     t_stp = timed("full sqp_step", lambda: step_loop(state, x0s, x_ref), reps)
     t0 = time.perf_counter()
     jax.block_until_ready(full_solve(x0s, x_ref))
