@@ -146,10 +146,18 @@ def dynamics(params: SRBDParams, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([r_dot, l_dot, p_dot, v_dot], axis=0)
 
 
-def jacobians(params: SRBDParams, x: jnp.ndarray, u: jnp.ndarray
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(J_fx, J_fu) [12,12,...], SoA. Ref: SRBD_model.cpp:105-140."""
-    dtype = x.dtype
+def jacobian_blocks(params: SRBDParams, x: jnp.ndarray, u: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, ...]:
+    """The five nonzero 3x3 blocks of the SRBD Jacobians, SoA.
+
+    J_fx = [[D1, D2, 0, 0],    J_fu = [[0,  0, 0,  0],
+            [0,  0, SF, 0],            [Sr, I, Sl, I],
+            [0,  0, 0,  I],            [0,  0, 0,  0],
+            [0,  0, 0,  0]]            [I/m,0, I/m,0]]
+
+    (state = [r, l, p, v]; SRBD_model.cpp:105-140). The structured
+    Riccati products in ops/sqp_pallas exploit exactly this sparsity —
+    the dense products waste ~2x FLOPs on structural zeros."""
     r, l, p = x[0:3], x[3:6], x[6:9]
     ch = so3_chain(r)
     R, Jl, Jlt, djlt = ch["R"], ch["Jl"], ch["Jlt"], ch["djlt"]
@@ -166,6 +174,20 @@ def jacobians(params: SRBDParams, x: jnp.ndarray, u: jnp.ndarray
     D2 = sm.mm(Jlt, RIRt)
     SF = skew(u[0:3] + u[6:9])
     batch = D1.shape[2:]
+    pf0 = sm.row(params.foot_pos, 0).reshape((3,) + nb)
+    pf1 = sm.row(params.foot_pos, 1).reshape((3,) + nb)
+    Sr = skew(jnp.broadcast_to(pf0, (3,) + batch) - p)
+    Sl = skew(jnp.broadcast_to(pf1, (3,) + batch) - p)
+    return D1, D2, SF, Sr, Sl
+
+
+def jacobians(params: SRBDParams, x: jnp.ndarray, u: jnp.ndarray
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(J_fx, J_fu) [12,12,...], SoA. Ref: SRBD_model.cpp:105-140."""
+    dtype = x.dtype
+    D1, D2, SF, Sr, Sl = jacobian_blocks(params, x, u)
+    batch = D1.shape[2:]
+    nb = (1,) * (x.ndim - 1)
     Z = jnp.zeros((3, 3) + batch, dtype)
     I = jnp.broadcast_to(jnp.eye(3, dtype=dtype).reshape((3, 3) + nb), (3, 3) + batch)
 
@@ -175,11 +197,6 @@ def jacobians(params: SRBDParams, x: jnp.ndarray, u: jnp.ndarray
         )
 
     J_fx = grid([[D1, D2, Z, Z], [Z, Z, SF, Z], [Z, Z, Z, I], [Z, Z, Z, Z]])
-
-    pf0 = sm.row(params.foot_pos, 0).reshape((3,) + nb)
-    pf1 = sm.row(params.foot_pos, 1).reshape((3,) + nb)
-    Sr = skew(jnp.broadcast_to(pf0, (3,) + batch) - p)
-    Sl = skew(jnp.broadcast_to(pf1, (3,) + batch) - p)
     Im = I / params.mass
     J_fu = grid([[Z, Z, Z, Z], [Sr, I, Sl, I], [Z, Z, Z, Z], [Im, Z, Im, Z]])
     return J_fx, J_fu

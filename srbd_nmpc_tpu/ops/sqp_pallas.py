@@ -68,6 +68,146 @@ def _params_from_refs(scal_ref, iinv_ref, foot_ref, dtype) -> SRBDParams:
     )
 
 
+def _rb(M: jnp.ndarray, i: int) -> jnp.ndarray:
+    """Row-block i (rows 3i:3i+3) of a [12, ..., B] SoA array."""
+    return jax.lax.slice_in_dim(M, 3 * i, 3 * i + 3, axis=0)
+
+
+def _cb(M: jnp.ndarray, j: int) -> jnp.ndarray:
+    """Column-block j (cols 3j:3j+3) of a [12, 12, B] SoA matrix."""
+    return jax.lax.slice_in_dim(M, 3 * j, 3 * j + 3, axis=1)
+
+
+def _backward_stage_structured(params, Ac_b, bc_col, Rw_b, Qw_b,
+                               x, xn, u, xr, P, p, reg: float,
+                               mu_b: float, theta_b: float):
+    """One linearize + backward-Riccati stage exploiting SRBD structure.
+
+    The dense stage update burns ~2x its FLOPs on structural zeros: the
+    SRBD Jacobian J_fx has only 4 nonzero 3x3 blocks (and one of them is
+    I), J_fu only 2 nonzero row-blocks (one diagonal), and the
+    constraint matrix is leg-block-diagonal (constraint_matrix,
+    SRBD_model.cpp:237-260). With A = I + dt Jx, B = dt Ju and P
+    symmetric (the kernel symmetrizes each stage):
+
+        P A    = P + dt (P Jx)          with (P Jx) built from 3x3-block
+        P B    = dt (P Ju)              column products,
+        B'P B  = dt^2 Ju'(P Ju)         Ju'/Jx' row recipes below,
+        B'P A  = dt Ju'(P A),
+        A'P A  = P + dt (M + Jx'P) + dt^2 Jx'M,   M = P Jx, Jx'P = M'
+                 (computed directly — no 12x12 transpose in-kernel).
+
+    Returns everything the kernels need downstream:
+    (P_new, p_new, Acl, K, bcl, kv, q, reff, b, con, b_bar, Ru).
+    Validated against the dense two-pass kernel at f64
+    (tests/test_sqp_pallas.py::test_sqp_qp_solve_onepass_matches_twopass).
+    """
+    dtype = x.dtype
+    block = x.shape[-1]
+    dt = params.dt
+    m_inv = 1.0 / params.mass
+
+    D1, D2, SF, Sr, Sl = srbd_soa.jacobian_blocks(params, x, u)
+    D12 = jnp.concatenate([D1, D2], axis=1)            # [3, 6, block]
+    b = srbd_soa.rk4(params, x, u) - xn
+
+    # ---- constraints / barrier: leg-block-diagonal Ac -------------------
+    half = lambda M, r0, c0: jax.lax.slice_in_dim(
+        jax.lax.slice_in_dim(M, r0, r0 + 12, axis=0), c0, c0 + 6, axis=1)
+    Ac1 = half(Ac_b, 0, 0)                             # [12, 6, block]
+    Ac2 = half(Ac_b, 12, 6)
+    u1 = jax.lax.slice_in_dim(u, 0, 6, axis=0)
+    u2 = jax.lax.slice_in_dim(u, 6, 12, axis=0)
+    con = jnp.concatenate([sm.mv(Ac1, u1), sm.mv(Ac2, u2)], axis=0) + bc_col
+    b_bar, db, ddb = relaxed_log_barrier(con, mu_b, theta_b)
+    db1 = jax.lax.slice_in_dim(db, 0, 12, axis=0)
+    db2 = jax.lax.slice_in_dim(db, 12, 24, axis=0)
+    ddb1 = jax.lax.slice_in_dim(ddb, 0, 12, axis=0)
+    ddb2 = jax.lax.slice_in_dim(ddb, 12, 24, axis=0)
+    C11 = sm.mtm(Ac1, Ac1 * ddb1[:, None])             # [6, 6, block]
+    C22 = sm.mtm(Ac2, Ac2 * ddb2[:, None])
+    z66 = jnp.zeros((6, 6, block), dtype)
+    Reff = Rw_b + jnp.concatenate([
+        jnp.concatenate([C11, z66], axis=1),
+        jnp.concatenate([z66, C22], axis=1)], axis=0)
+    Ru = sm.mv(Rw_b, u)
+    reff = Ru + jnp.concatenate([sm.mtv(Ac1, db1), sm.mtv(Ac2, db2)], axis=0)
+    q = sm.mv(Qw_b, x - xr)
+
+    # ---- structured Riccati products ------------------------------------
+    Pc0, Pc1, Pc2, Pc3 = _cb(P, 0), _cb(P, 1), _cb(P, 2), _cb(P, 3)
+    # M = P Jx : col-blocks [P03 D1 | P03 D2 | P36 SF | P69]
+    M = jnp.concatenate([sm.mm(Pc0, D12), sm.mm(Pc1, SF), Pc2], axis=1)
+    PA = P + dt * M
+    # W = P Ju : col-blocks [P36 Sr + P9/m | P36 | P36 Sl + P9/m | P36]
+    Pc3m = m_inv * Pc3
+    W = jnp.concatenate([sm.mm(Pc1, Sr) + Pc3m, Pc1,
+                         sm.mm(Pc1, Sl) + Pc3m, Pc1], axis=1)
+
+    def JuT(Mat):
+        """Ju' @ Mat rows: [Sr' M1 + M3/m | M1 | Sl' M1 + M3/m | M1]."""
+        M1, M3 = _rb(Mat, 1), _rb(Mat, 3)
+        a = sm.mtm(Sr, M1) + m_inv * M3
+        c = sm.mtm(Sl, M1) + m_inv * M3
+        return jnp.concatenate([a, M1, c, M1], axis=0)
+
+    def JuTv(v):
+        v1, v3 = _rb(v, 1), _rb(v, 3)
+        a = sm.mtv(Sr, v1) + m_inv * v3
+        c = sm.mtv(Sl, v1) + m_inv * v3
+        return jnp.concatenate([a, v1, c, v1], axis=0)
+
+    eye_reg = jnp.asarray(reg, dtype) * jnp.eye(NX, dtype=dtype)[:, :, None]
+    G = Reff + (dt * dt) * JuT(W) + eye_reg            # Reff + B'P B
+    H = dt * JuT(PA)                                   # B'P A
+    L, dinv = sm.cholesky(G)
+    K = -sm.chol_solve(L, dinv, H)
+    Pb_p = sm.mv(P, b) + p
+    kv = -jnp.squeeze(
+        sm.chol_solve(L, dinv, (dt * JuTv(Pb_p) + reff)[:, None, :]), 1)
+
+    # A'P A = P + dt (M + Jx'P) + dt^2 Jx'M ; Jx' rows pick [D1'|D2'|SF'|I]
+    def JxT(Mat):
+        M0, M1, M2 = _rb(Mat, 0), _rb(Mat, 1), _rb(Mat, 2)
+        return jnp.concatenate([sm.mtm(D1, M0), sm.mtm(D2, M0),
+                                sm.mtm(SF, M1), M2], axis=0)
+
+    def JxTv(v):
+        v0, v1, v2 = _rb(v, 0), _rb(v, 1), _rb(v, 2)
+        return jnp.concatenate([sm.mtv(D1, v0), sm.mtv(D2, v0),
+                                sm.mtv(SF, v1), v2], axis=0)
+
+    P_new = (Qw_b + P + dt * (M + JxT(P)) + (dt * dt) * JxT(M)
+             + sm.mtm(H, K))
+    P_new = 0.5 * (P_new + jnp.swapaxes(P_new, 0, 1))
+    p_new = q + Pb_p + dt * JxTv(Pb_p) + sm.mtv(H, kv)
+
+    # Acl = A + B K ; A assembled by concatenation only (I + dt Jx)
+    z3 = jnp.zeros((3, 3, block), dtype)
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype)[:, :, None], (3, 3, block))
+    A = jnp.concatenate([
+        jnp.concatenate([I3 + dt * D1, dt * D2, z3, z3], axis=1),
+        jnp.concatenate([z3, I3, dt * SF, z3], axis=1),
+        jnp.concatenate([z3, z3, I3, dt * I3], axis=1),
+        jnp.concatenate([z3, z3, z3, I3], axis=1)], axis=0)
+    Kr0, Kr1 = _rb(K, 0), _rb(K, 1)
+    Kr2, Kr3 = _rb(K, 2), _rb(K, 3)
+    zr = jnp.zeros((3, NX, block), dtype)
+    BK = jnp.concatenate([
+        zr, dt * (sm.mm(Sr, Kr0) + Kr1 + sm.mm(Sl, Kr2) + Kr3),
+        zr, (dt * m_inv) * (Kr0 + Kr2)], axis=0)
+    Acl = A + BK
+    kv0, kv1 = _rb(kv, 0), _rb(kv, 1)
+    kv2, kv3 = _rb(kv, 2), _rb(kv, 3)
+    zv = jnp.zeros((3, block), dtype)
+    Bkv = jnp.concatenate([
+        zv, dt * (sm.mv(Sr, kv0) + kv1 + sm.mv(Sl, kv2) + kv3),
+        zv, (dt * m_inv) * (kv0 + kv2)], axis=0)
+    bcl = b + Bkv
+
+    return P_new, p_new, Acl, K, bcl, kv, q, reff, b, con, b_bar, Ru
+
+
 def _bwd_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref, Qw_ref,
                 Qf_ref, x_ref, xn_ref, u_ref, xr_ref, xrN_ref,
                 Acl_ref, K_ref, bcl_ref, kv_ref, q_ref, reff_ref, qN_ref,
@@ -222,18 +362,7 @@ def _onepass_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
         xr = jnp.squeeze(xr_ref[...], 0)
         params = _params_from_refs(scal_ref, iinv_ref, foot_ref, dtype)
 
-        A, B = srbd_soa.euler_AB(params, x, u)
-        b = srbd_soa.rk4(params, x, u) - xn
-        Ac_b = widen(Ac_ref[...])
-        con = sm.mv(Ac_b, u) + bc_ref[...]
-        b_bar, db, ddb = relaxed_log_barrier(con, mu_b, theta_b)
-        Rw_b = widen(Rw_ref[...])
-        Reff = Rw_b + sm.mtm(Ac_b, Ac_b * ddb[:, None])
-        Ru = sm.mv(Rw_b, u)
-        reff = Ru + sm.mtv(Ac_b, db)
         Qw_b = widen(Qw_ref[...])
-        q = sm.mv(Qw_b, x - xr)
-
         eN = xn - jnp.squeeze(xrN_ref[...], 0)
         qN = sm.mv(widen(Qf_ref[...]), eN)
 
@@ -243,26 +372,18 @@ def _onepass_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
             p_scr[...] = qN
             qN_scr[...] = qN
 
-        P = P_scr[...]
-        p = p_scr[...]
-        eye_reg = jnp.asarray(reg, dtype) * jnp.eye(NX, dtype=dtype)[:, :, None]
-        PA = sm.mm(P, A)
-        PB = sm.mm(P, B)
-        G = Reff + sm.mtm(B, PB) + eye_reg
-        H = sm.mtm(B, PA)
-        L, dinv = sm.cholesky(G)
-        K = -sm.chol_solve(L, dinv, H)
-        Pb_p = sm.mv(P, b) + p
-        kv = -jnp.squeeze(
-            sm.chol_solve(L, dinv, (sm.mtv(B, Pb_p) + reff)[:, None, :]), 1)
-        P_new = Qw_b + sm.mtm(A, PA) + sm.mtm(H, K)
-        P_scr[...] = 0.5 * (P_new + jnp.swapaxes(P_new, 0, 1))
-        p_scr[...] = q + sm.mtv(A, Pb_p) + sm.mtv(H, kv)
+        (P_new, p_new, Acl, K, bcl, kv, q, reff, b, con, b_bar, Ru) = \
+            _backward_stage_structured(
+                params, widen(Ac_ref[...]), bc_ref[...], widen(Rw_ref[...]),
+                Qw_b, x, xn, u, xr, P_scr[...], p_scr[...],
+                reg, mu_b, theta_b)
+        P_scr[...] = P_new
+        p_scr[...] = p_new
 
         k = N - 1 - g
-        Acl_scr[pl.ds(k, 1)] = (A + sm.mm(B, K))[None]
+        Acl_scr[pl.ds(k, 1)] = Acl[None]
         K_scr[pl.ds(k, 1)] = K[None]
-        bcl_scr[pl.ds(k, 1)] = (b + sm.mv(B, kv))[None]
+        bcl_scr[pl.ds(k, 1)] = bcl[None]
         kv_scr[pl.ds(k, 1)] = kv[None]
         q_scr[pl.ds(k, 1)] = q[None]
         reff_scr[pl.ds(k, 1)] = reff[None]
@@ -348,18 +469,7 @@ def _onepass_cand_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
         xr = jnp.squeeze(xr_ref[...], 0)
         params = _params_from_refs(scal_ref, iinv_ref, foot_ref, dtype)
 
-        A, B = srbd_soa.euler_AB(params, x, u)
-        b = srbd_soa.rk4(params, x, u) - xn
-        Ac_b = widen(Ac_ref[...])
-        con = sm.mv(Ac_b, u) + bc_ref[...]
-        b_bar, db, ddb = relaxed_log_barrier(con, mu_b, theta_b)
-        Rw_b = widen(Rw_ref[...])
-        Reff = Rw_b + sm.mtm(Ac_b, Ac_b * ddb[:, None])
-        Ru = sm.mv(Rw_b, u)
-        reff = Ru + sm.mtv(Ac_b, db)
         Qw_b = widen(Qw_ref[...])
-        q = sm.mv(Qw_b, x - xr)
-
         eN = xn - jnp.squeeze(xrN_ref[...], 0)
         qN = sm.mv(widen(Qf_ref[...]), eN)
 
@@ -369,26 +479,18 @@ def _onepass_cand_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
             p_scr[...] = qN
             qN_scr[...] = qN
 
-        P = P_scr[...]
-        p = p_scr[...]
-        eye_reg = jnp.asarray(reg, dtype) * jnp.eye(NX, dtype=dtype)[:, :, None]
-        PA = sm.mm(P, A)
-        PB = sm.mm(P, B)
-        G = Reff + sm.mtm(B, PB) + eye_reg
-        H = sm.mtm(B, PA)
-        L, dinv = sm.cholesky(G)
-        K = -sm.chol_solve(L, dinv, H)
-        Pb_p = sm.mv(P, b) + p
-        kv = -jnp.squeeze(
-            sm.chol_solve(L, dinv, (sm.mtv(B, Pb_p) + reff)[:, None, :]), 1)
-        P_new = Qw_b + sm.mtm(A, PA) + sm.mtm(H, K)
-        P_scr[...] = 0.5 * (P_new + jnp.swapaxes(P_new, 0, 1))
-        p_scr[...] = q + sm.mtv(A, Pb_p) + sm.mtv(H, kv)
+        (P_new, p_new, Acl, K, bcl, kv, q, reff, b, con, b_bar, Ru) = \
+            _backward_stage_structured(
+                params, widen(Ac_ref[...]), bc_ref[...], widen(Rw_ref[...]),
+                Qw_b, x, xn, u, xr, P_scr[...], p_scr[...],
+                reg, mu_b, theta_b)
+        P_scr[...] = P_new
+        p_scr[...] = p_new
 
         k = N - 1 - g
-        Acl_scr[pl.ds(k, 1)] = (A + sm.mm(B, K))[None]
+        Acl_scr[pl.ds(k, 1)] = Acl[None]
         K_scr[pl.ds(k, 1)] = K[None]
-        bcl_scr[pl.ds(k, 1)] = (b + sm.mv(B, kv))[None]
+        bcl_scr[pl.ds(k, 1)] = bcl[None]
         kv_scr[pl.ds(k, 1)] = kv[None]
         q_scr[pl.ds(k, 1)] = q[None]
         reff_scr[pl.ds(k, 1)] = reff[None]
