@@ -78,7 +78,41 @@ def _cb(M: jnp.ndarray, j: int) -> jnp.ndarray:
     return jax.lax.slice_in_dim(M, 3 * j, 3 * j + 3, axis=1)
 
 
-def _backward_stage_structured(params, Ac_b, bc_col, Rw_b, Qw_b,
+def _split_leg_blocks(Ac: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Host-side split of the leg-block-diagonal constraint matrix
+    Ac [24, 12] into its two nonzero [12, 6] diagonal blocks.
+
+    The structured kernels rely on Ac being leg-block-diagonal (true for
+    srbd.constraint_matrix, ref GetConstrain SRBD_model.cpp:237-260): the
+    off-diagonal blocks Ac[0:12, 6:12] and Ac[12:24, 0:6] are DISCARDED.
+    When Ac is a concrete array the zero structure is checked here;
+    under a jit trace the requirement is the caller's contract.
+
+    Done host-side for a Mosaic reason too: slicing a lane-broadcast
+    (widened) constant inside a TPU kernel hits a compiler CHECK
+    (array.h:480 limits[i] <= dim(i)) on this image — the round-3 crash.
+    Slicing the 2-D constant before the pallas_call avoids it entirely
+    (bisected in tools/bisect_mosaic.py, variants widen_reff vs
+    widen_after_slice).
+    """
+    import numpy as np
+
+    if isinstance(Ac, np.ndarray) or (
+            isinstance(Ac, jax.Array) and not isinstance(
+                Ac, jax.core.Tracer)):
+        off1 = np.max(np.abs(np.asarray(Ac[0:12, 6:12])))
+        off2 = np.max(np.abs(np.asarray(Ac[12:24, 0:6])))
+        if off1 > 0 or off2 > 0:
+            raise ValueError(
+                "structured SQP kernels require a leg-block-diagonal "
+                f"constraint matrix; off-diagonal max |Ac| = "
+                f"{max(off1, off2)}")
+    Ac1 = jax.lax.slice(Ac, (0, 0), (12, 6))
+    Ac2 = jax.lax.slice(Ac, (12, 6), (24, 12))
+    return Ac1, Ac2
+
+
+def _backward_stage_structured(params, Ac1_b, Ac2_b, bc_col, Rw_b, Qw_b,
                                x, xn, u, xr, P, p, reg: float,
                                mu_b: float, theta_b: float):
     """One linearize + backward-Riccati stage exploiting SRBD structure.
@@ -101,6 +135,10 @@ def _backward_stage_structured(params, Ac_b, bc_col, Rw_b, Qw_b,
     (P_new, p_new, Acl, K, bcl, kv, q, reff, b, con, b_bar, Ru).
     Validated against the dense two-pass kernel at f64
     (tests/test_sqp_pallas.py::test_sqp_qp_solve_onepass_matches_twopass).
+
+    ``Ac1_b``/``Ac2_b`` are the two [12, 6, block] leg-diagonal blocks of
+    the constraint matrix, pre-sliced HOST-side (see _split_leg_blocks —
+    in-kernel slicing of widened constants crashes this image's Mosaic).
     """
     dtype = x.dtype
     block = x.shape[-1]
@@ -112,10 +150,8 @@ def _backward_stage_structured(params, Ac_b, bc_col, Rw_b, Qw_b,
     b = srbd_soa.rk4(params, x, u) - xn
 
     # ---- constraints / barrier: leg-block-diagonal Ac -------------------
-    half = lambda M, r0, c0: jax.lax.slice_in_dim(
-        jax.lax.slice_in_dim(M, r0, r0 + 12, axis=0), c0, c0 + 6, axis=1)
-    Ac1 = half(Ac_b, 0, 0)                             # [12, 6, block]
-    Ac2 = half(Ac_b, 12, 6)
+    Ac1 = Ac1_b                                        # [12, 6, block]
+    Ac2 = Ac2_b
     u1 = jax.lax.slice_in_dim(u, 0, 6, axis=0)
     u2 = jax.lax.slice_in_dim(u, 6, 12, axis=0)
     con = jnp.concatenate([sm.mv(Ac1, u1), sm.mv(Ac2, u2)], axis=0) + bc_col
@@ -208,6 +244,63 @@ def _backward_stage_structured(params, Ac_b, bc_col, Rw_b, Qw_b,
     return P_new, p_new, Acl, K, bcl, kv, q, reff, b, con, b_bar, Ru
 
 
+def _accumulate_merit(acc_scr, is_first, b, con, b_bar, u, Ru, x, xr, q,
+                      phiN):
+    """Stage-merit accumulation into the VMEM scratch ``acc_scr`` [4, block]
+    (rows: theta, phi, max|defect|, min constraint), shared by all three
+    SQP kernels. ``is_first`` seeds the accumulators (scratch holds garbage
+    on the first sequential grid step). Returns (th, ph, md, mc) so the
+    caller can flush them on the last backward step.
+
+    The reference re-evaluates these merit quantities in linearSearch
+    (NMPC_solver.cpp:152-189); here they are a byproduct of the stage
+    sweep."""
+    dtype = b.dtype
+    acc = acc_scr[...]
+    th_part = 0.5 * jnp.sum(b * b, axis=0)
+    ph_part = (jnp.sum(b_bar, axis=0) + 0.5 * jnp.sum(u * Ru, axis=0)
+               + 0.5 * jnp.sum((x - xr) * q, axis=0))
+    zero = jnp.zeros((), dtype)
+    th = jnp.where(is_first, zero, sm.row(acc, 0)) + th_part
+    ph = jnp.where(is_first, phiN, sm.row(acc, 1)) + ph_part
+    md = jnp.maximum(jnp.where(is_first, zero, sm.row(acc, 2)),
+                     jnp.max(jnp.abs(b), axis=0))
+    mc = jnp.minimum(
+        jnp.where(is_first, jnp.asarray(1e30, dtype), sm.row(acc, 3)),
+        jnp.min(con, axis=0))
+    acc_scr[...] = jnp.stack([th, ph, md, mc])
+    return th, ph, md, mc
+
+
+def _forward_phase(g, N, dx0_ref, dx_ref, du_ref, dphi_ref,
+                   Acl_scr, K_scr, bcl_scr, kv_scr, q_scr, reff_scr,
+                   qN_scr, dxc_scr, dacc_scr):
+    """Forward-rollout step k = g - N of the one-pass kernels (g >= N):
+    closed-loop rollout, gains, and dphi accumulation from the
+    VMEM-parked backward products. Shared by ``_onepass_kernel`` and
+    ``_onepass_cand_kernel`` verbatim."""
+    dtype = dxc_scr.dtype
+    block = dxc_scr.shape[-1]
+    k = g - N
+    dx = jnp.where(g == N, dx0_ref[...], dxc_scr[...])
+    prev = jnp.where(g == N, jnp.zeros((1, block), dtype), dacc_scr[...])
+    K = jnp.squeeze(K_scr[pl.ds(k, 1)], 0)
+    du = sm.mv(K, dx) + jnp.squeeze(kv_scr[pl.ds(k, 1)], 0)
+    Acl = jnp.squeeze(Acl_scr[pl.ds(k, 1)], 0)
+    dxn = sm.mv(Acl, dx) + jnp.squeeze(bcl_scr[pl.ds(k, 1)], 0)
+    part = (jnp.sum(dx * jnp.squeeze(q_scr[pl.ds(k, 1)], 0), axis=0)
+            + jnp.sum(du * jnp.squeeze(reff_scr[pl.ds(k, 1)], 0), axis=0))
+    tot = prev + part[None]
+    dacc_scr[...] = tot
+    du_ref[...] = du[None]
+    dx_ref[...] = dxn[None]
+    dxc_scr[...] = dxn
+
+    @pl.when(g == 2 * N - 1)
+    def _():
+        dphi_ref[...] = tot + jnp.sum(dxn * qN_scr[...], axis=0)[None]
+
+
 def _bwd_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref, Qw_ref,
                 Qf_ref, x_ref, xn_ref, u_ref, xr_ref, xrN_ref,
                 Acl_ref, K_ref, bcl_ref, kv_ref, q_ref, reff_ref, qN_ref,
@@ -278,23 +371,9 @@ def _bwd_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref, Qw_ref,
     reff_ref[...] = reff[None]
 
     # ---- current-point merit, accumulated across stages in VMEM ----------
-    # (the reference re-evaluates all of this in linearSearch,
-    # NMPC_solver.cpp:152-189; here it is a byproduct)
-    is_first = g == 0
-    acc = acc_scr[...]        # garbage at g == 0; discarded by the selects
-    th_part = 0.5 * jnp.sum(b * b, axis=0)
-    ph_part = (jnp.sum(b_bar, axis=0) + 0.5 * jnp.sum(u * Ru, axis=0)
-               + 0.5 * jnp.sum((x - xr) * q, axis=0))
     phiN = 0.5 * jnp.sum(eN * qN, axis=0)
-    zero = jnp.zeros((), dtype)
-    th = jnp.where(is_first, zero, sm.row(acc, 0)) + th_part
-    ph = jnp.where(is_first, phiN, sm.row(acc, 1)) + ph_part
-    md = jnp.maximum(jnp.where(is_first, zero, sm.row(acc, 2)),
-                     jnp.max(jnp.abs(b), axis=0))
-    mc = jnp.minimum(
-        jnp.where(is_first, jnp.asarray(1e30, dtype), sm.row(acc, 3)),
-        jnp.min(con, axis=0))
-    acc_scr[...] = jnp.stack([th, ph, md, mc])
+    th, ph, md, mc = _accumulate_merit(
+        acc_scr, g == 0, b, con, b_bar, u, Ru, x, xr, q, phiN)
 
     @pl.when(g == N - 1)
     def _():
@@ -331,9 +410,9 @@ def _fwd_kernel(Acl_ref, K_ref, bcl_ref, kv_ref, q_ref, reff_ref, qN_ref,
         dphi_ref[...] = tot + jnp.sum(dxn * qN_ref[...], axis=0)[None]
 
 
-def _onepass_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
-                    Qw_ref, Qf_ref, x_ref, xn_ref, u_ref, xr_ref, xrN_ref,
-                    dx0_ref,
+def _onepass_kernel(scal_ref, iinv_ref, foot_ref, ac1_ref, ac2_ref, bc_ref,
+                    Rw_ref, Qw_ref, Qf_ref, x_ref, xn_ref, u_ref, xr_ref,
+                    xrN_ref, dx0_ref,
                     dx_ref, du_ref, dphi_ref,
                     theta_ref, phi_ref, maxdef_ref, mincon_ref,
                     P_scr, p_scr, acc_scr, Acl_scr, K_scr, bcl_scr, kv_scr,
@@ -374,7 +453,8 @@ def _onepass_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
 
         (P_new, p_new, Acl, K, bcl, kv, q, reff, b, con, b_bar, Ru) = \
             _backward_stage_structured(
-                params, widen(Ac_ref[...]), bc_ref[...], widen(Rw_ref[...]),
+                params, widen(ac1_ref[...]), widen(ac2_ref[...]),
+                bc_ref[...], widen(Rw_ref[...]),
                 Qw_b, x, xn, u, xr, P_scr[...], p_scr[...],
                 reg, mu_b, theta_b)
         P_scr[...] = P_new
@@ -388,21 +468,9 @@ def _onepass_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
         q_scr[pl.ds(k, 1)] = q[None]
         reff_scr[pl.ds(k, 1)] = reff[None]
 
-        is_first = g == 0
-        acc = acc_scr[...]
-        th_part = 0.5 * jnp.sum(b * b, axis=0)
-        ph_part = (jnp.sum(b_bar, axis=0) + 0.5 * jnp.sum(u * Ru, axis=0)
-                   + 0.5 * jnp.sum((x - xr) * q, axis=0))
         phiN = 0.5 * jnp.sum(eN * qN, axis=0)
-        zero = jnp.zeros((), dtype)
-        th = jnp.where(is_first, zero, sm.row(acc, 0)) + th_part
-        ph = jnp.where(is_first, phiN, sm.row(acc, 1)) + ph_part
-        md = jnp.maximum(jnp.where(is_first, zero, sm.row(acc, 2)),
-                         jnp.max(jnp.abs(b), axis=0))
-        mc = jnp.minimum(
-            jnp.where(is_first, jnp.asarray(1e30, dtype), sm.row(acc, 3)),
-            jnp.min(con, axis=0))
-        acc_scr[...] = jnp.stack([th, ph, md, mc])
+        th, ph, md, mc = _accumulate_merit(
+            acc_scr, g == 0, b, con, b_bar, u, Ru, x, xr, q, phiN)
 
         @pl.when(g == N - 1)
         def _():
@@ -413,27 +481,13 @@ def _onepass_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
 
     @pl.when(g >= N)
     def _forward():
-        k = g - N
-        dx = jnp.where(g == N, dx0_ref[...], dxc_scr[...])
-        prev = jnp.where(g == N, jnp.zeros((1, block), dtype), dacc_scr[...])
-        K = jnp.squeeze(K_scr[pl.ds(k, 1)], 0)
-        du = sm.mv(K, dx) + jnp.squeeze(kv_scr[pl.ds(k, 1)], 0)
-        Acl = jnp.squeeze(Acl_scr[pl.ds(k, 1)], 0)
-        dxn = sm.mv(Acl, dx) + jnp.squeeze(bcl_scr[pl.ds(k, 1)], 0)
-        part = (jnp.sum(dx * jnp.squeeze(q_scr[pl.ds(k, 1)], 0), axis=0)
-                + jnp.sum(du * jnp.squeeze(reff_scr[pl.ds(k, 1)], 0), axis=0))
-        tot = prev + part[None]
-        dacc_scr[...] = tot
-        du_ref[...] = du[None]
-        dx_ref[...] = dxn[None]
-        dxc_scr[...] = dxn
-
-        @pl.when(g == 2 * N - 1)
-        def _():
-            dphi_ref[...] = tot + jnp.sum(dxn * qN_scr[...], axis=0)[None]
+        _forward_phase(g, N, dx0_ref, dx_ref, du_ref, dphi_ref,
+                       Acl_scr, K_scr, bcl_scr, kv_scr, q_scr, reff_scr,
+                       qN_scr, dxc_scr, dacc_scr)
 
 
-def _onepass_cand_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
+def _onepass_cand_kernel(scal_ref, iinv_ref, foot_ref, ac1_ref, ac2_ref,
+                         bc_ref, Rw_ref,
                          Qw_ref, Qf_ref, x_ref, xn_ref, u_ref, xr_ref,
                          xrN_ref, dxc_in_ref, dxcn_in_ref, duc_in_ref,
                          alpha_ref, dx0_ref,
@@ -481,7 +535,8 @@ def _onepass_cand_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
 
         (P_new, p_new, Acl, K, bcl, kv, q, reff, b, con, b_bar, Ru) = \
             _backward_stage_structured(
-                params, widen(Ac_ref[...]), bc_ref[...], widen(Rw_ref[...]),
+                params, widen(ac1_ref[...]), widen(ac2_ref[...]),
+                bc_ref[...], widen(Rw_ref[...]),
                 Qw_b, x, xn, u, xr, P_scr[...], p_scr[...],
                 reg, mu_b, theta_b)
         P_scr[...] = P_new
@@ -495,21 +550,9 @@ def _onepass_cand_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
         q_scr[pl.ds(k, 1)] = q[None]
         reff_scr[pl.ds(k, 1)] = reff[None]
 
-        is_first = g == 0
-        acc = acc_scr[...]
-        th_part = 0.5 * jnp.sum(b * b, axis=0)
-        ph_part = (jnp.sum(b_bar, axis=0) + 0.5 * jnp.sum(u * Ru, axis=0)
-                   + 0.5 * jnp.sum((x - xr) * q, axis=0))
         phiN = 0.5 * jnp.sum(eN * qN, axis=0)
-        zero = jnp.zeros((), dtype)
-        th = jnp.where(is_first, zero, sm.row(acc, 0)) + th_part
-        ph = jnp.where(is_first, phiN, sm.row(acc, 1)) + ph_part
-        md = jnp.maximum(jnp.where(is_first, zero, sm.row(acc, 2)),
-                         jnp.max(jnp.abs(b), axis=0))
-        mc = jnp.minimum(
-            jnp.where(is_first, jnp.asarray(1e30, dtype), sm.row(acc, 3)),
-            jnp.min(con, axis=0))
-        acc_scr[...] = jnp.stack([th, ph, md, mc])
+        th, ph, md, mc = _accumulate_merit(
+            acc_scr, g == 0, b, con, b_bar, u, Ru, x, xr, q, phiN)
 
         @pl.when(g == N - 1)
         def _():
@@ -520,24 +563,9 @@ def _onepass_cand_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref,
 
     @pl.when(g >= N)
     def _forward():
-        k = g - N
-        dx = jnp.where(g == N, dx0_ref[...], dxc_scr[...])
-        prev = jnp.where(g == N, jnp.zeros((1, block), dtype), dacc_scr[...])
-        K = jnp.squeeze(K_scr[pl.ds(k, 1)], 0)
-        du = sm.mv(K, dx) + jnp.squeeze(kv_scr[pl.ds(k, 1)], 0)
-        Acl = jnp.squeeze(Acl_scr[pl.ds(k, 1)], 0)
-        dxn = sm.mv(Acl, dx) + jnp.squeeze(bcl_scr[pl.ds(k, 1)], 0)
-        part = (jnp.sum(dx * jnp.squeeze(q_scr[pl.ds(k, 1)], 0), axis=0)
-                + jnp.sum(du * jnp.squeeze(reff_scr[pl.ds(k, 1)], 0), axis=0))
-        tot = prev + part[None]
-        dacc_scr[...] = tot
-        du_ref[...] = du[None]
-        dx_ref[...] = dxn[None]
-        dxc_scr[...] = dxn
-
-        @pl.when(g == 2 * N - 1)
-        def _():
-            dphi_ref[...] = tot + jnp.sum(dxn * qN_scr[...], axis=0)[None]
+        _forward_phase(g, N, dx0_ref, dx_ref, du_ref, dphi_ref,
+                       Acl_scr, K_scr, bcl_scr, kv_scr, q_scr, reff_scr,
+                       qN_scr, dxc_scr, dacc_scr)
 
 
 def sqp_qp_solve_onepass_cand(
@@ -554,7 +582,12 @@ def sqp_qp_solve_onepass_cand(
     point, with ``alpha`` per scenario [Bt] and ``x0s`` the raw initial
     states [12, Bt] (the kernel's dx0 is x0s - candidate x_0, formed
     here). Returns (dx, du, dphi, (theta, phi, max|defect|, min_con)) —
-    merit AND next-step QP solution at the candidate in one launch."""
+    merit AND next-step QP solution at the candidate in one launch.
+
+    REQUIRES ``Ac`` leg-block-diagonal (off-blocks Ac[0:12, 6:12] and
+    Ac[12:24, 0:6] zero — true for srbd.constraint_matrix); the
+    structured stage body ignores the off-blocks (checked when Ac is
+    concrete, see _split_leg_blocks)."""
     N = us.shape[0]
     Bt = xa.shape[-1]
     assert Bt % block == 0, (Bt, block)
@@ -566,6 +599,7 @@ def sqp_qp_solve_onepass_cand(
     ]).reshape(_NPARAM, 1)
 
     dx0 = x0s - (xa[0] + alpha[None, :] * dxc[0])
+    Ac1, Ac2 = _split_leg_blocks(Ac)
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i, g: (0,) * len(shape))
     rv_ = lambda i, g: ((N - 1 - g) % N, 0, i)       # stage k = N-1-g (bwd)
@@ -576,7 +610,8 @@ def sqp_qp_solve_onepass_cand(
 
     in_specs = [
         const(_NPARAM, 1), const(3, 3), const(2, 3),
-        const(NG, NU), pl.BlockSpec((NG, 1), lambda i, g: (0, 0)),
+        const(NX, 6), const(NX, 6),            # Ac leg-diagonal blocks
+        pl.BlockSpec((NG, 1), lambda i, g: (0, 0)),
         const(NU, NU), const(NX, NX), const(NX, NX),
         pl.BlockSpec((1, NX, block), rv_),     # x_k
         pl.BlockSpec((1, NX, block), rv1_),    # x_{k+1}
@@ -632,7 +667,7 @@ def sqp_qp_solve_onepass_cand(
             dimension_semantics=("parallel", "arbitrary"),
         ),
     )(scal, params.inertia_inv.astype(dtype), params.foot_pos.astype(dtype),
-      Ac.astype(dtype), bc.astype(dtype).reshape(NG, 1),
+      Ac1.astype(dtype), Ac2.astype(dtype), bc.astype(dtype).reshape(NG, 1),
       R_w.astype(dtype), Q_w.astype(dtype), Qf_w.astype(dtype),
       xa, xa, us, xra, xra, dxc, dxc, duc, alpha.reshape(1, Bt), dx0)
     dx_rest, du, dphi, theta, phi, maxdef, mincon = outs
@@ -655,7 +690,12 @@ def sqp_qp_solve_onepass(
     the forward phase (the fetched blocks are unused there); (dx, du)
     output blocks flushed during the backward phase hold garbage that the
     in-order forward revisits overwrite (validated by
-    tools/probe_dynscratch.py and the interpret/TPU parity tests)."""
+    tools/probe_dynscratch.py and the interpret/TPU parity tests).
+
+    REQUIRES ``Ac`` leg-block-diagonal (off-blocks Ac[0:12, 6:12] and
+    Ac[12:24, 0:6] zero — true for srbd.constraint_matrix); the
+    structured stage body ignores the off-blocks (checked when Ac is
+    concrete, see _split_leg_blocks)."""
     N = us.shape[0]
     Bt = xa.shape[-1]
     assert Bt % block == 0, (Bt, block)
@@ -665,6 +705,7 @@ def sqp_qp_solve_onepass(
         params.mass, params.dt, params.mu, params.lfx, params.lfz,
         params.fmax, params.fmin, jnp.asarray(0.0, dtype),
     ]).reshape(_NPARAM, 1)
+    Ac1, Ac2 = _split_leg_blocks(Ac)
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i, g: (0,) * len(shape))
     rv_ = lambda i, g: ((N - 1 - g) % N, 0, i)       # stage k = N-1-g (bwd)
@@ -675,7 +716,8 @@ def sqp_qp_solve_onepass(
 
     in_specs = [
         const(_NPARAM, 1), const(3, 3), const(2, 3),
-        const(NG, NU), pl.BlockSpec((NG, 1), lambda i, g: (0, 0)),
+        const(NX, 6), const(NX, 6),            # Ac leg-diagonal blocks
+        pl.BlockSpec((NG, 1), lambda i, g: (0, 0)),
         const(NU, NU), const(NX, NX), const(NX, NX),
         pl.BlockSpec((1, NX, block), rv_),     # x_k
         pl.BlockSpec((1, NX, block), rv1_),    # x_{k+1}
@@ -727,7 +769,7 @@ def sqp_qp_solve_onepass(
             dimension_semantics=("parallel", "arbitrary"),
         ),
     )(scal, params.inertia_inv.astype(dtype), params.foot_pos.astype(dtype),
-      Ac.astype(dtype), bc.astype(dtype).reshape(NG, 1),
+      Ac1.astype(dtype), Ac2.astype(dtype), bc.astype(dtype).reshape(NG, 1),
       R_w.astype(dtype), Q_w.astype(dtype), Qf_w.astype(dtype),
       xa, xa, us, xra, xra, dx0)
     dx_rest, du, dphi, theta, phi, maxdef, mincon = outs
