@@ -122,6 +122,10 @@ class NmpcConfig:
     # semantics identical to the sequential loop (tests); False restores
     # the iteration-synchronous loop.
     speculative: bool = _static(default=True)
+    # fold the forward rollout into the last backward grid step of the
+    # one-pass kernel (unrolled epilogue; halves the sequential grid
+    # depth). False restores the 2N-step grid.
+    fold_forward: bool = _static(default=True)
 
     # Convergence thresholds (NMPC_solver.cpp:267)
     conv_dphi: float = _static(default=-1e-3)
@@ -732,14 +736,15 @@ def _sqp_step_soa(params, weights, cfg, xa, us, alpha, x0s, xra, active):
         from srbd_nmpc_tpu.ops import sqp_pallas
 
         Ac, bc = srbd.constraint_matrix(params)
-        # one-pass variant: stage tensors VMEM-resident; bitwise-identical
-        # to the two-pass kernel, measured 11.2 ms/call at B=16384
-        # (tools/profile_stages.py) and +2.8% end-to-end vs two-pass
-        # (BENCH 72.2k -> 74.3k solves/s)
+        # one-pass variant: stage tensors VMEM-resident; matches the
+        # dense two-pass kernel to ~1e-12 in f64 (the structured-product
+        # reassociation rounds differently; test_sqp_qp_solve_onepass_
+        # matches_twopass) and beats it end-to-end (74.3k two-pass-era,
+        # 99.6k with structured products — README perf table)
         dx, du, dphi, aux = sqp_pallas.sqp_qp_solve_onepass(
             params, weights.Q, weights.Qf, weights.R, Ac, bc,
             xa, us, xra, dx0s, cfg.mu_barrier, cfg.theta_barrier,
-            reg=cfg.reg, block=cfg.pallas_block,
+            reg=cfg.reg, block=cfg.pallas_block, fold=cfg.fold_forward,
         )
     elif use_pallas:
         from srbd_nmpc_tpu.ops import riccati_pallas
@@ -988,7 +993,7 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
     dx_p, du_p, dphi_p, aux = sqp_pallas.sqp_qp_solve_onepass(
         params, weights.Q, weights.Qf, weights.R, Ac, bc,
         xa0, us0, xra, x0s - xa0[0], cfg.mu_barrier, cfg.theta_barrier,
-        reg=cfg.reg, block=cfg.pallas_block)
+        reg=cfg.reg, block=cfg.pallas_block, fold=cfg.fold_forward)
     th_p, ph_p, md_p, mc_p = aux
     nan0 = jnp.logical_not(jnp.isfinite(th_p + ph_p + dphi_p))
     conv_p = (dphi_p > cfg.conv_dphi) & (th_p < cfg.conv_theta)
@@ -1004,9 +1009,20 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
     i_md, i_mc = md_p, mc_p
     converged = jnp.zeros((Bn,), bool)
     trips = jnp.asarray(0, jnp.int32)
-    # safety cap: alpha is halved at most ~log2(alpha0/alpha_min) times
-    # per iteration (once TOTAL with persistent alpha), so this is slack
-    trip_cap = cfg.sqp_max_iter * (2 if cfg.persistent_alpha else 16) + 16
+    # safety cap derived from the config: alpha can be halved at most
+    # `halvings` times before hitting alpha_min (with persistent alpha
+    # the halvings happen once TOTAL across the solve, not per
+    # iteration), plus one accepting trip per SQP iteration and slack
+    # for the bootstrap/straggler trips. A user-configured tiny
+    # alpha_min therefore widens the cap instead of stranding live
+    # scenarios mid-line-search at the cap (ADVICE r3).
+    import math
+
+    halvings = max(1, int(math.ceil(
+        math.log(max(cfg.alpha_min, 1e-30))
+        / math.log(min(max(cfg.beta_alpha, 1e-6), 0.999999)))))
+    trip_cap = (cfg.sqp_max_iter * (1 if cfg.persistent_alpha
+                                    else halvings) + halvings + 16)
 
     def cond(carry):
         _, live, _, trips = carry
@@ -1022,7 +1038,7 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
             params, weights.Q, weights.Qf, weights.R, Ac, bc,
             xa, us, xra, dx_p, du_p, alpha_cand, x0s,
             cfg.mu_barrier, cfg.theta_barrier,
-            reg=cfg.reg, block=cfg.pallas_block)
+            reg=cfg.reg, block=cfg.pallas_block, fold=cfg.fold_forward)
         th_c, ph_c, md_c, mc_c = aux_c
 
         ok = _accept(cfg, th_c, ph_c, alpha_cand, th_p, ph_p, dphi_p) \

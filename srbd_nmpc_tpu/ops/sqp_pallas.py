@@ -301,6 +301,31 @@ def _forward_phase(g, N, dx0_ref, dx_ref, du_ref, dphi_ref,
         dphi_ref[...] = tot + jnp.sum(dxn * qN_scr[...], axis=0)[None]
 
 
+def _forward_epilogue(N, dx0_ref, dx_ref, du_ref, dphi_ref,
+                      Acl_scr, K_scr, bcl_scr, kv_scr, q_scr, reff_scr,
+                      qN_scr):
+    """Forward rollout as a Python-unrolled epilogue of the LAST backward
+    grid step (g == N-1, which just stored the stage-0 products): removes
+    N of the 2N sequential grid steps — the forward phase's per-stage
+    compute (two [12,12] mat-vecs) is tiny next to the grid-step overhead
+    it was paying. All stage indices here are STATIC Python ints, so the
+    scratch reads are static slices (no dynamic-index Mosaic risk)."""
+    dx = dx0_ref[...]
+    tot = None
+    for k in range(N):
+        K = jnp.squeeze(K_scr[pl.ds(k, 1)], 0)
+        du = sm.mv(K, dx) + jnp.squeeze(kv_scr[pl.ds(k, 1)], 0)
+        Acl = jnp.squeeze(Acl_scr[pl.ds(k, 1)], 0)
+        dxn = sm.mv(Acl, dx) + jnp.squeeze(bcl_scr[pl.ds(k, 1)], 0)
+        part = (jnp.sum(dx * jnp.squeeze(q_scr[pl.ds(k, 1)], 0), axis=0)
+                + jnp.sum(du * jnp.squeeze(reff_scr[pl.ds(k, 1)], 0), axis=0))
+        tot = part if tot is None else tot + part
+        du_ref[pl.ds(k, 1)] = du[None]
+        dx_ref[pl.ds(k, 1)] = dxn[None]
+        dx = dxn
+    dphi_ref[...] = (tot + jnp.sum(dx * qN_scr[...], axis=0))[None]
+
+
 def _bwd_kernel(scal_ref, iinv_ref, foot_ref, Ac_ref, bc_ref, Rw_ref, Qw_ref,
                 Qf_ref, x_ref, xn_ref, u_ref, xr_ref, xrN_ref,
                 Acl_ref, K_ref, bcl_ref, kv_ref, q_ref, reff_ref, qN_ref,
@@ -417,7 +442,8 @@ def _onepass_kernel(scal_ref, iinv_ref, foot_ref, ac1_ref, ac2_ref, bc_ref,
                     theta_ref, phi_ref, maxdef_ref, mincon_ref,
                     P_scr, p_scr, acc_scr, Acl_scr, K_scr, bcl_scr, kv_scr,
                     q_scr, reff_scr, qN_scr, dxc_scr, dacc_scr,
-                    mu_b: float, theta_b: float, reg: float, N: int):
+                    mu_b: float, theta_b: float, reg: float, N: int,
+                    fold: bool):
     """Backward (g < N) AND forward (g >= N) phases in ONE kernel over a
     2N-step sequential grid: the per-stage Riccati products (Acl, K, bcl,
     k, q, r_eff) are parked in VMEM scratch by the backward phase and read
@@ -478,12 +504,17 @@ def _onepass_kernel(scal_ref, iinv_ref, foot_ref, ac1_ref, ac2_ref, bc_ref,
             phi_ref[...] = ph[None]
             maxdef_ref[...] = md[None]
             mincon_ref[...] = mc[None]
+            if fold:
+                _forward_epilogue(N, dx0_ref, dx_ref, du_ref, dphi_ref,
+                                  Acl_scr, K_scr, bcl_scr, kv_scr, q_scr,
+                                  reff_scr, qN_scr)
 
-    @pl.when(g >= N)
-    def _forward():
-        _forward_phase(g, N, dx0_ref, dx_ref, du_ref, dphi_ref,
-                       Acl_scr, K_scr, bcl_scr, kv_scr, q_scr, reff_scr,
-                       qN_scr, dxc_scr, dacc_scr)
+    if not fold:
+        @pl.when(g >= N)
+        def _forward():
+            _forward_phase(g, N, dx0_ref, dx_ref, du_ref, dphi_ref,
+                           Acl_scr, K_scr, bcl_scr, kv_scr, q_scr, reff_scr,
+                           qN_scr, dxc_scr, dacc_scr)
 
 
 def _onepass_cand_kernel(scal_ref, iinv_ref, foot_ref, ac1_ref, ac2_ref,
@@ -495,7 +526,8 @@ def _onepass_cand_kernel(scal_ref, iinv_ref, foot_ref, ac1_ref, ac2_ref,
                          theta_ref, phi_ref, maxdef_ref, mincon_ref,
                          P_scr, p_scr, acc_scr, Acl_scr, K_scr, bcl_scr,
                          kv_scr, q_scr, reff_scr, qN_scr, dxc_scr, dacc_scr,
-                         mu_b: float, theta_b: float, reg: float, N: int):
+                         mu_b: float, theta_b: float, reg: float, N: int,
+                         fold: bool):
     """``_onepass_kernel`` evaluated at the LINE-SEARCH CANDIDATE
     (x + alpha dxc, u + alpha duc) with a per-scenario alpha, the
     candidate folded into the stage loads so the trial trajectory never
@@ -560,12 +592,17 @@ def _onepass_cand_kernel(scal_ref, iinv_ref, foot_ref, ac1_ref, ac2_ref,
             phi_ref[...] = ph[None]
             maxdef_ref[...] = md[None]
             mincon_ref[...] = mc[None]
+            if fold:
+                _forward_epilogue(N, dx0_ref, dx_ref, du_ref, dphi_ref,
+                                  Acl_scr, K_scr, bcl_scr, kv_scr, q_scr,
+                                  reff_scr, qN_scr)
 
-    @pl.when(g >= N)
-    def _forward():
-        _forward_phase(g, N, dx0_ref, dx_ref, du_ref, dphi_ref,
-                       Acl_scr, K_scr, bcl_scr, kv_scr, q_scr, reff_scr,
-                       qN_scr, dxc_scr, dacc_scr)
+    if not fold:
+        @pl.when(g >= N)
+        def _forward():
+            _forward_phase(g, N, dx0_ref, dx_ref, du_ref, dphi_ref,
+                           Acl_scr, K_scr, bcl_scr, kv_scr, q_scr, reff_scr,
+                           qN_scr, dxc_scr, dacc_scr)
 
 
 def sqp_qp_solve_onepass_cand(
@@ -575,6 +612,7 @@ def sqp_qp_solve_onepass_cand(
     dxc: jnp.ndarray, duc: jnp.ndarray, alpha: jnp.ndarray,
     x0s: jnp.ndarray,
     mu_b: float, theta_b: float, reg: float = 0.0, block: int = 256,
+    fold: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, ...]]:
     """Fused SQP QP solve AT THE CANDIDATE (xa + alpha dxc, us + alpha duc).
 
@@ -602,11 +640,23 @@ def sqp_qp_solve_onepass_cand(
     Ac1, Ac2 = _split_leg_blocks(Ac)
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i, g: (0,) * len(shape))
-    rv_ = lambda i, g: ((N - 1 - g) % N, 0, i)       # stage k = N-1-g (bwd)
-    rv1_ = lambda i, g: ((N - g) % (N + 1), 0, i)    # stage k+1 (bwd)
     bN_ = lambda i, g: (N, 0, i)
     lane_ = lambda i, g: (0, i)
-    fv_ = lambda i, g: ((g - N) % N, 0, i)           # stage k = g-N (fwd)
+    if fold:
+        # grid minor is N backward steps; forward runs as the unrolled
+        # epilogue of g = N-1 writing whole-[N] output blocks
+        rv_ = lambda i, g: (N - 1 - g, 0, i)         # stage k = N-1-g
+        rv1_ = lambda i, g: (N - g, 0, i)            # stage k+1
+        dx_spec = pl.BlockSpec((N, NX, block), lambda i, g: (0, 0, i))
+        du_spec = pl.BlockSpec((N, NU, block), lambda i, g: (0, 0, i))
+        n_minor = N
+    else:
+        rv_ = lambda i, g: ((N - 1 - g) % N, 0, i)   # stage k = N-1-g (bwd)
+        rv1_ = lambda i, g: ((N - g) % (N + 1), 0, i)  # stage k+1 (bwd)
+        fv_ = lambda i, g: ((g - N) % N, 0, i)       # stage k = g-N (fwd)
+        dx_spec = pl.BlockSpec((1, NX, block), fv_)
+        du_spec = pl.BlockSpec((1, NU, block), fv_)
+        n_minor = 2 * N
 
     in_specs = [
         const(_NPARAM, 1), const(3, 3), const(2, 3),
@@ -625,8 +675,8 @@ def sqp_qp_solve_onepass_cand(
         pl.BlockSpec((NX, block), lane_),      # dx0
     ]
     out_specs = [
-        pl.BlockSpec((1, NX, block), fv_),     # dx_{k+1}
-        pl.BlockSpec((1, NU, block), fv_),     # du_k
+        dx_spec,                               # dx_{k+1}
+        du_spec,                               # du_k
         pl.BlockSpec((1, block), lane_),       # dphi
         pl.BlockSpec((1, block), lane_),       # theta
         pl.BlockSpec((1, block), lane_),       # phi
@@ -644,8 +694,8 @@ def sqp_qp_solve_onepass_cand(
     ]
     outs = pl.pallas_call(
         functools.partial(_onepass_cand_kernel, mu_b=mu_b, theta_b=theta_b,
-                          reg=reg, N=N),
-        grid=(Bt // block, 2 * N),
+                          reg=reg, N=N, fold=fold),
+        grid=(Bt // block, n_minor),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -682,6 +732,7 @@ def sqp_qp_solve_onepass(
     Ac: jnp.ndarray, bc: jnp.ndarray,
     xa: jnp.ndarray, us: jnp.ndarray, xra: jnp.ndarray, dx0: jnp.ndarray,
     mu_b: float, theta_b: float, reg: float = 0.0, block: int = 256,
+    fold: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, ...]]:
     """Single-kernel fused SQP QP solve (see ``_onepass_kernel``): same
     contract as ``sqp_qp_solve`` but the intermediate stage tensors stay
@@ -708,11 +759,21 @@ def sqp_qp_solve_onepass(
     Ac1, Ac2 = _split_leg_blocks(Ac)
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i, g: (0,) * len(shape))
-    rv_ = lambda i, g: ((N - 1 - g) % N, 0, i)       # stage k = N-1-g (bwd)
-    rv1_ = lambda i, g: ((N - g) % (N + 1), 0, i)    # stage k+1 (bwd)
     bN_ = lambda i, g: (N, 0, i)
     lane_ = lambda i, g: (0, i)
-    fv_ = lambda i, g: ((g - N) % N, 0, i)           # stage k = g-N (fwd)
+    if fold:
+        rv_ = lambda i, g: (N - 1 - g, 0, i)         # stage k = N-1-g
+        rv1_ = lambda i, g: (N - g, 0, i)            # stage k+1
+        dx_spec = pl.BlockSpec((N, NX, block), lambda i, g: (0, 0, i))
+        du_spec = pl.BlockSpec((N, NU, block), lambda i, g: (0, 0, i))
+        n_minor = N
+    else:
+        rv_ = lambda i, g: ((N - 1 - g) % N, 0, i)   # stage k = N-1-g (bwd)
+        rv1_ = lambda i, g: ((N - g) % (N + 1), 0, i)  # stage k+1 (bwd)
+        fv_ = lambda i, g: ((g - N) % N, 0, i)       # stage k = g-N (fwd)
+        dx_spec = pl.BlockSpec((1, NX, block), fv_)
+        du_spec = pl.BlockSpec((1, NU, block), fv_)
+        n_minor = 2 * N
 
     in_specs = [
         const(_NPARAM, 1), const(3, 3), const(2, 3),
@@ -727,8 +788,8 @@ def sqp_qp_solve_onepass(
         pl.BlockSpec((NX, block), lane_),      # dx0
     ]
     out_specs = [
-        pl.BlockSpec((1, NX, block), fv_),     # dx_{k+1}
-        pl.BlockSpec((1, NU, block), fv_),     # du_k
+        dx_spec,                               # dx_{k+1}
+        du_spec,                               # du_k
         pl.BlockSpec((1, block), lane_),       # dphi
         pl.BlockSpec((1, block), lane_),       # theta
         pl.BlockSpec((1, block), lane_),       # phi
@@ -746,8 +807,8 @@ def sqp_qp_solve_onepass(
     ]
     outs = pl.pallas_call(
         functools.partial(_onepass_kernel, mu_b=mu_b, theta_b=theta_b,
-                          reg=reg, N=N),
-        grid=(Bt // block, 2 * N),
+                          reg=reg, N=N, fold=fold),
+        grid=(Bt // block, n_minor),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

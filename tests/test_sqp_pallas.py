@@ -120,13 +120,17 @@ def test_sqp_qp_solve_onepass_matches_twopass(interpret_pallas):
     args = (params, weights.Q, weights.Qf, weights.R, Ac, bc,
             xa, us, xra, dx0, cfg.mu_barrier, cfg.theta_barrier)
     dx2, du2, dphi2, aux2 = sqp_pallas.sqp_qp_solve(*args, reg=cfg.reg, block=8)
-    dx1, du1, dphi1, aux1 = sqp_pallas.sqp_qp_solve_onepass(
-        *args, reg=cfg.reg, block=8)
-    np.testing.assert_allclose(dx1, dx2, rtol=1e-12, atol=1e-13)
-    np.testing.assert_allclose(du1, du2, rtol=1e-12, atol=1e-12)
-    np.testing.assert_allclose(dphi1, dphi2, rtol=1e-12, atol=1e-12)
-    for a1, a2 in zip(aux1, aux2):
-        np.testing.assert_allclose(a1, a2, rtol=1e-12, atol=1e-13)
+    # both grid layouts: fold=True (forward rollout as the unrolled
+    # epilogue of the last backward step, N grid steps) and fold=False
+    # (separate N forward grid steps) must match the two-pass oracle
+    for fold in (True, False):
+        dx1, du1, dphi1, aux1 = sqp_pallas.sqp_qp_solve_onepass(
+            *args, reg=cfg.reg, block=8, fold=fold)
+        np.testing.assert_allclose(dx1, dx2, rtol=1e-12, atol=1e-13)
+        np.testing.assert_allclose(du1, du2, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(dphi1, dphi2, rtol=1e-12, atol=1e-12)
+        for a1, a2 in zip(aux1, aux2):
+            np.testing.assert_allclose(a1, a2, rtol=1e-12, atol=1e-13)
 
 
 def test_merit_alpha_matches_soa(interpret_pallas):

@@ -3,7 +3,10 @@ one-pass SQP kernel (VERDICT r3 Weak #1): B=256, block=256, N=20.
 
 Run: timeout 600 python tools/repro_onepass.py [onepass|cand|twopass]
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
