@@ -23,13 +23,32 @@ import jax
 import jax.numpy as jnp
 
 
+REL_TOL = 1e-4
+
+
+def parity_metric(u_test, u_ref) -> float:
+    """Worst per-element RELATIVE error between two converged force
+    trajectories, with the denominator floored at 1 % of the reference's
+    max magnitude so near-zero elements don't blow up the ratio.
+
+    The reference's own oracle bars are 1e-9..1e-10 absolute in f64
+    (hpipm-cpp/test/ocp_qp_ipm_solver.cpp:92,310); in f32 on ~100 N-scale
+    forces the honest analogue is a relative bound — REL_TOL=1e-4 catches
+    a Mosaic drift an absolute 1e-3 gate on ~100-scale values would let
+    through at ~10x smaller magnitude (VERDICT r3 Weak #7)."""
+    scale = jnp.maximum(jnp.abs(u_ref),
+                        0.01 * jnp.max(jnp.abs(u_ref)) + 1e-30)
+    return float(jnp.max(jnp.abs(u_test - u_ref) / scale))
+
+
 def parity_gate(params, weights, cfg, x_ref, dtype, B: int = 512) -> float:
-    """Compare every Pallas QP path (fused linearize+Riccati kernel AND the
-    two-kernel pallas path) against the XLA SoA path at B=512 on whatever
-    backend bench runs on; returns the worst max |du| error and raises if
-    it exceeds 1e-3 (f32 path; the f64 numerics gates live in tests/).
-    Uses one full solve each so every Pallas kernel in the hot path
-    (fused SQP / linearize / riccati / merit) is covered."""
+    """Compare every Pallas QP path against the XLA SoA path at B=512:
+    the fused one-pass kernel with speculative acceptance ON (the
+    production default), the same kernel with the synchronous loop, and
+    the two-kernel pallas path. Returns the worst relative error
+    (parity_metric) and raises above REL_TOL. Uses one full solve each so
+    every Pallas kernel in the hot path (fused SQP one-pass + candidate /
+    linearize / riccati / merit) is covered."""
     import dataclasses
 
     import numpy as np
@@ -45,19 +64,26 @@ def parity_gate(params, weights, cfg, x_ref, dtype, B: int = 512) -> float:
     )
     states = sharded.broadcast_state(engine.NmpcState.initial(cfg.N, dtype), B)
 
+    variants = {
+        "fused+spec": dict(qp_kernel="fused", speculative=True),
+        "fused": dict(qp_kernel="fused", speculative=False),
+        "pallas": dict(qp_kernel="pallas"),
+        "xla": dict(qp_kernel="xla"),
+    }
     outs = {}
-    for kern in ("fused", "pallas", "xla"):
-        cfg_k = dataclasses.replace(cfg, qp_kernel=kern)
+    for name, kw in variants.items():
+        cfg_k = dataclasses.replace(cfg, **kw)
         st, _ = jax.jit(
             lambda p, w, s, x, r, c=cfg_k: engine.solve(p, w, c, s, x, r)
         )(params, weights, states, x0s, x_ref)
-        outs[kern] = jax.block_until_ready(st)
+        outs[name] = jax.block_until_ready(st)
     err = max(
-        float(jnp.max(jnp.abs(outs[k].u - outs["xla"].u)))
-        for k in ("fused", "pallas")
+        parity_metric(outs[k].u, outs["xla"].u)
+        for k in ("fused+spec", "fused", "pallas")
     )
-    if not err < 1e-3:
-        raise AssertionError(f"Pallas/XLA parity gate failed: max|du|={err}")
+    if not err < REL_TOL:
+        raise AssertionError(
+            f"Pallas/XLA parity gate failed: rel err {err} >= {REL_TOL}")
     return err
 
 
@@ -113,6 +139,32 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     p50 = float(np.percentile(np.asarray(times), 50))
 
+    # --- warm (receding-horizon) regime: the reference's real operating
+    # mode re-solves each control cycle from the shifted previous solution
+    # (x_nmpc_/u_nmpc_ persist across controlLoop reps, NMPC_solver.h:70-71)
+    # so theta starts tiny and the SQP needs 1-2 iterations. --------------
+    states_cold, _, _ = jax.block_until_ready(
+        cold_solve(params, weights, x0s, x_ref))
+
+    @jax.jit
+    def warm_solve(params, weights, states, x0s, x_ref):
+        return sharded.solve_batch(
+            params, weights, cfg, engine.shift_state(states), x0s, x_ref)
+
+    # compile + advance the plant one cycle (x0 <- predicted next state)
+    x0s_w = states_cold.x[:, 1, :]
+    out_w = jax.block_until_ready(
+        warm_solve(params, weights, states_cold, x0s_w, x_ref))
+    n_conv_w = int(out_w[2].n_converged)
+    warm_times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out_w = jax.block_until_ready(
+            warm_solve(params, weights, out_w[0], x0s_w, x_ref))
+        warm_times.append(time.perf_counter() - t0)
+    p50_w = float(np.percentile(np.asarray(warm_times), 50))
+    warm_iters = float(out_w[2].mean_iters)
+
     solves_per_s = batch / p50
     conv_frac = n_conv / batch
     out = {
@@ -127,7 +179,11 @@ def main() -> None:
         "mean_sqp_iters": round(float(summary.mean_iters), 2),
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
-        "pallas_xla_parity_max_du": round(parity_err, 6),
+        "pallas_xla_parity_rel_du": round(parity_err, 8),
+        "warm_solves_per_s": round(batch / p50_w, 1),
+        "warm_p50_batch_latency_ms": round(p50_w * 1e3, 3),
+        "warm_mean_sqp_iters": round(warm_iters, 2),
+        "warm_converged": n_conv_w,
         "ok": conv_frac >= 0.95,
     }
     print(json.dumps(out))
