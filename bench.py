@@ -66,6 +66,8 @@ def parity_gate(params, weights, cfg, x_ref, dtype, B: int = 512) -> float:
 
     variants = {
         "fused+spec": dict(qp_kernel="fused", speculative=True),
+        "fused+spec+dense": dict(qp_kernel="fused", speculative=True,
+                                 planes=False),
         "fused": dict(qp_kernel="fused", speculative=False),
         "pallas": dict(qp_kernel="pallas"),
         "xla": dict(qp_kernel="xla"),
@@ -79,7 +81,7 @@ def parity_gate(params, weights, cfg, x_ref, dtype, B: int = 512) -> float:
         outs[name] = jax.block_until_ready(st)
     err = max(
         parity_metric(outs[k].u, outs["xla"].u)
-        for k in ("fused+spec", "fused", "pallas")
+        for k in ("fused+spec", "fused+spec+dense", "fused", "pallas")
     )
     if not err < REL_TOL:
         raise AssertionError(

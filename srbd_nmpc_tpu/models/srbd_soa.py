@@ -181,6 +181,57 @@ def jacobian_blocks(params: SRBDParams, x: jnp.ndarray, u: jnp.ndarray
     return D1, D2, SF, Sr, Sl
 
 
+def linearize_stage(params: SRBDParams, x: jnp.ndarray, u: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, ...]:
+    """(D1, D2, SF, Sr, Sl, x_next_rk4): Jacobian blocks AND the RK4 step
+    in one pass, sharing the SO(3) chain, R I^-1 R', and w at the stage
+    point — ``jacobian_blocks`` + ``rk4`` called separately recompute all
+    three for RK4's first dynamics eval (~1 of its ~5
+    transcendental-heavy chain evaluations). Used by the fused SQP
+    kernels where the stage linearization dominates (tools/
+    profile_stages.py: the in-kernel linearize phase is ~60 % of the
+    one-pass kernel). k1 here uses the shared so3_chain quantities, so
+    it differs from ``rk4``'s first eval only in rounding (same formulas,
+    chain's (1-ct)/t^2 vs dynamics' (1-ct)*inv_t*inv_t)."""
+    r, l, p, v = x[0:3], x[3:6], x[6:9], x[9:12]
+    ch = so3_chain(r)
+    R, Jl, Jlt, djlt = ch["R"], ch["Jl"], ch["Jlt"], ch["djlt"]
+
+    nb = (1,) * (r.ndim - 1)
+    batch = r.shape[1:]
+    Iinv = jnp.broadcast_to(params.inertia_inv.reshape((3, 3) + nb),
+                            (3, 3) + batch)
+    RIRt = sm.mm(sm.mm(R, Iinv), sm.transpose(R))
+    w = sm.mv(RIRt, l)
+
+    # ---- Jacobian blocks (shared chain; same math as jacobian_blocks) ----
+    djlt_w = jnp.stack([sm.mv(sm.row(djlt, a), w) for a in range(3)], axis=1)
+    D1 = djlt_w + sm.mm(sm.mm(Jlt, sm.mm(RIRt, skew(l)) - skew(w)), Jl)
+    D2 = sm.mm(Jlt, RIRt)
+    SF = skew(u[0:3] + u[6:9])
+    pf0 = jnp.broadcast_to(sm.row(params.foot_pos, 0).reshape((3,) + nb),
+                           (3,) + batch)
+    pf1 = jnp.broadcast_to(sm.row(params.foot_pos, 1).reshape((3,) + nb),
+                           (3,) + batch)
+    Sr = skew(pf0 - p)
+    Sl = skew(pf1 - p)
+
+    # ---- RK4 with k1 from the shared chain -------------------------------
+    f01 = u[0:3]
+    f02 = u[6:9]
+    l_dot = (u[3:6] + u[9:12] + cross(pf0 - p, f01) + cross(pf1 - p, f02))
+    g = _g_vec(nb, x.dtype)
+    v_dot = (f01 + f02) / params.mass + g
+    k1 = jnp.concatenate([sm.mv(Jlt, w), l_dot, v, v_dot], axis=0)
+
+    dt = params.dt
+    k2 = dynamics(params, x + 0.5 * dt * k1, u)
+    k3 = dynamics(params, x + 0.5 * dt * k2, u)
+    k4 = dynamics(params, x + dt * k3, u)
+    x_next = x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+    return D1, D2, SF, Sr, Sl, x_next
+
+
 def jacobians(params: SRBDParams, x: jnp.ndarray, u: jnp.ndarray
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(J_fx, J_fu) [12,12,...], SoA. Ref: SRBD_model.cpp:105-140."""

@@ -126,6 +126,15 @@ class NmpcConfig:
     # one-pass kernel (unrolled epilogue; halves the sequential grid
     # depth). False restores the 2N-step grid.
     fold_forward: bool = _static(default=True)
+    # plane-phase linearization for the fused one-pass kernel
+    # (ops/sqp_planes): grid step 0 linearizes ALL stages at once as
+    # entry-wise algebra over [N, block] planes (83% sublane occupancy
+    # incl. transcendentals, vs [block]-rows at 1/8) and parks a compact
+    # structured pack in VMEM; the backward steps are pure Riccati.
+    # Measured 5.82 vs 8.79 ms/launch at B=16384 (the whole solve is ~18
+    # launches of this kernel). False restores the dense-layout one-pass
+    # kernels (kept as the on-chip oracle, tools/tpu_smoke.py).
+    planes: bool = _static(default=True)
 
     # Convergence thresholds (NMPC_solver.cpp:267)
     conv_dphi: float = _static(default=-1e-3)
@@ -733,19 +742,32 @@ def _sqp_step_soa(params, weights, cfg, xa, us, alpha, x0s, xra, active):
         du = jnp.transpose(sol.u, (1, 2, 0))
         dphi = jnp.sum(dx * q, axis=(0, 1)) + jnp.sum(du * r, axis=(0, 1))
     elif use_fused:
-        from srbd_nmpc_tpu.ops import sqp_pallas
-
         Ac, bc = srbd.constraint_matrix(params)
         # one-pass variant: stage tensors VMEM-resident; matches the
         # dense two-pass kernel to ~1e-12 in f64 (the structured-product
         # reassociation rounds differently; test_sqp_qp_solve_onepass_
         # matches_twopass) and beats it end-to-end (74.3k two-pass-era,
-        # 99.6k with structured products — README perf table)
-        dx, du, dphi, aux = sqp_pallas.sqp_qp_solve_onepass(
-            params, weights.Q, weights.Qf, weights.R, Ac, bc,
-            xa, us, xra, dx0s, cfg.mu_barrier, cfg.theta_barrier,
-            reg=cfg.reg, block=cfg.pallas_block, fold=cfg.fold_forward,
-        )
+        # 99.6k with structured products — README perf table). With
+        # cfg.planes the plane-phase kernel (ops/sqp_planes) is used at
+        # alpha=0 (bootstrap mode) — 5.82 vs 8.79 ms/launch at B=16384.
+        if cfg.planes:
+            from srbd_nmpc_tpu.ops import sqp_planes
+
+            dx, du, dphi, aux = sqp_planes.sqp_qp_solve_onepass_planes(
+                params, weights.Q, weights.Qf, weights.R, Ac, bc,
+                xa, us, xra, jnp.zeros_like(xa), jnp.zeros_like(us),
+                jnp.zeros(Bn, xa.dtype), x0s,
+                cfg.mu_barrier, cfg.theta_barrier,
+                reg=cfg.reg, block=cfg.pallas_block,
+            )
+        else:
+            from srbd_nmpc_tpu.ops import sqp_pallas
+
+            dx, du, dphi, aux = sqp_pallas.sqp_qp_solve_onepass(
+                params, weights.Q, weights.Qf, weights.R, Ac, bc,
+                xa, us, xra, dx0s, cfg.mu_barrier, cfg.theta_barrier,
+                reg=cfg.reg, block=cfg.pallas_block, fold=cfg.fold_forward,
+            )
     elif use_pallas:
         from srbd_nmpc_tpu.ops import riccati_pallas
 
@@ -989,11 +1011,40 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
     Ac, bc = srbd.constraint_matrix(params)
     max_it = jnp.asarray(cfg.sqp_max_iter, jnp.int32)
 
+    if cfg.planes:
+        # plane-phase kernel (ops/sqp_planes): one kernel serves both the
+        # bootstrap (alpha = 0) and the candidate trips
+        from srbd_nmpc_tpu.ops import sqp_planes
+
+        def _boot(xa, us):
+            return sqp_planes.sqp_qp_solve_onepass_planes(
+                params, weights.Q, weights.Qf, weights.R, Ac, bc,
+                xa, us, xra, jnp.zeros_like(xa), jnp.zeros_like(us),
+                jnp.zeros(Bn, dtype), x0s, cfg.mu_barrier,
+                cfg.theta_barrier, reg=cfg.reg, block=cfg.pallas_block)
+
+        def _cand(xa, us, dx_p, du_p, alpha_cand):
+            return sqp_planes.sqp_qp_solve_onepass_planes(
+                params, weights.Q, weights.Qf, weights.R, Ac, bc,
+                xa, us, xra, dx_p, du_p, alpha_cand, x0s,
+                cfg.mu_barrier, cfg.theta_barrier,
+                reg=cfg.reg, block=cfg.pallas_block)
+    else:
+        def _boot(xa, us):
+            return sqp_pallas.sqp_qp_solve_onepass(
+                params, weights.Q, weights.Qf, weights.R, Ac, bc,
+                xa, us, xra, x0s - xa[0], cfg.mu_barrier, cfg.theta_barrier,
+                reg=cfg.reg, block=cfg.pallas_block, fold=cfg.fold_forward)
+
+        def _cand(xa, us, dx_p, du_p, alpha_cand):
+            return sqp_pallas.sqp_qp_solve_onepass_cand(
+                params, weights.Q, weights.Qf, weights.R, Ac, bc,
+                xa, us, xra, dx_p, du_p, alpha_cand, x0s,
+                cfg.mu_barrier, cfg.theta_barrier,
+                reg=cfg.reg, block=cfg.pallas_block, fold=cfg.fold_forward)
+
     # ---- bootstrap: iteration 1's linearize+QP at the initial iterate ----
-    dx_p, du_p, dphi_p, aux = sqp_pallas.sqp_qp_solve_onepass(
-        params, weights.Q, weights.Qf, weights.R, Ac, bc,
-        xa0, us0, xra, x0s - xa0[0], cfg.mu_barrier, cfg.theta_barrier,
-        reg=cfg.reg, block=cfg.pallas_block, fold=cfg.fold_forward)
+    dx_p, du_p, dphi_p, aux = _boot(xa0, us0)
     th_p, ph_p, md_p, mc_p = aux
     nan0 = jnp.logical_not(jnp.isfinite(th_p + ph_p + dphi_p))
     conv_p = (dphi_p > cfg.conv_dphi) & (th_p < cfg.conv_theta)
@@ -1034,11 +1085,7 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
              i_th, i_ph, i_dphi, i_md, i_mc, converged), trips = carry
 
         searching = live & (alpha_cand > cfg.alpha_min)
-        dx_c, du_c, dphi_c, aux_c = sqp_pallas.sqp_qp_solve_onepass_cand(
-            params, weights.Q, weights.Qf, weights.R, Ac, bc,
-            xa, us, xra, dx_p, du_p, alpha_cand, x0s,
-            cfg.mu_barrier, cfg.theta_barrier,
-            reg=cfg.reg, block=cfg.pallas_block, fold=cfg.fold_forward)
+        dx_c, du_c, dphi_c, aux_c = _cand(xa, us, dx_p, du_p, alpha_cand)
         th_c, ph_c, md_c, mc_c = aux_c
 
         ok = _accept(cfg, th_c, ph_c, alpha_cand, th_p, ph_p, dphi_p) \

@@ -73,11 +73,6 @@ def _rb(M: jnp.ndarray, i: int) -> jnp.ndarray:
     return jax.lax.slice_in_dim(M, 3 * i, 3 * i + 3, axis=0)
 
 
-def _cb(M: jnp.ndarray, j: int) -> jnp.ndarray:
-    """Column-block j (cols 3j:3j+3) of a [12, 12, B] SoA matrix."""
-    return jax.lax.slice_in_dim(M, 3 * j, 3 * j + 3, axis=1)
-
-
 def _split_leg_blocks(Ac: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Host-side split of the leg-block-diagonal constraint matrix
     Ac [24, 12] into its two nonzero [12, 6] diagonal blocks.
@@ -100,8 +95,12 @@ def _split_leg_blocks(Ac: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if isinstance(Ac, np.ndarray) or (
             isinstance(Ac, jax.Array) and not isinstance(
                 Ac, jax.core.Tracer)):
-        off1 = np.max(np.abs(np.asarray(Ac[0:12, 6:12])))
-        off2 = np.max(np.abs(np.asarray(Ac[12:24, 0:6])))
+        # convert FIRST, slice in numpy: a jax slice of a concrete
+        # closure constant gets STAGED to a tracer inside an enclosing
+        # jit/fori_loop trace, and np.asarray on that tracer raises
+        Ac_np = np.asarray(Ac)
+        off1 = np.max(np.abs(Ac_np[0:12, 6:12]))
+        off2 = np.max(np.abs(Ac_np[12:24, 0:6]))
         if off1 > 0 or off2 > 0:
             raise ValueError(
                 "structured SQP kernels require a leg-block-diagonal "
@@ -124,12 +123,11 @@ def _backward_stage_structured(params, Ac1_b, Ac2_b, bc_col, Rw_b, Qw_b,
     SRBD_model.cpp:237-260). With A = I + dt Jx, B = dt Ju and P
     symmetric (the kernel symmetrizes each stage):
 
-        P A    = P + dt (P Jx)          with (P Jx) built from 3x3-block
-        P B    = dt (P Ju)              column products,
-        B'P B  = dt^2 Ju'(P Ju)         Ju'/Jx' row recipes below,
-        B'P A  = dt Ju'(P A),
-        A'P A  = P + dt (M + Jx'P) + dt^2 Jx'M,   M = P Jx, Jx'P = M'
-                 (computed directly — no 12x12 transpose in-kernel).
+        P A    = P + dt (P Jx)          with P Jx = (Jx'P)', P Ju =
+        P B    = dt (P Ju)              (Ju'P)' via the Jx'/Ju' row
+        B'P B  = dt^2 Ju'(P Ju)         recipes below (P symmetric) +
+        B'P A  = dt Ju'(P A),           one leading-dim swapaxes each,
+        A'P A  = P + dt (M + Jx'P) + dt^2 Jx'M,   M = P Jx = V', V = Jx'P.
 
     Returns everything the kernels need downstream:
     (P_new, p_new, Acl, K, bcl, kv, q, reff, b, con, b_bar, Ru).
@@ -145,8 +143,11 @@ def _backward_stage_structured(params, Ac1_b, Ac2_b, bc_col, Rw_b, Qw_b,
     dt = params.dt
     m_inv = 1.0 / params.mass
 
+    # NOTE kept as jacobian_blocks + rk4 (separate so3 chains): the
+    # shared-chain srbd_soa.linearize_stage variant measured 102.6k vs
+    # 104.7k end-to-end on chip (more simultaneously-live chain values ->
+    # scheduling/register pressure beats the ~1-chain FLOP saving).
     D1, D2, SF, Sr, Sl = srbd_soa.jacobian_blocks(params, x, u)
-    D12 = jnp.concatenate([D1, D2], axis=1)            # [3, 6, block]
     b = srbd_soa.rk4(params, x, u) - xn
 
     # ---- constraints / barrier: leg-block-diagonal Ac -------------------
@@ -170,15 +171,35 @@ def _backward_stage_structured(params, Ac1_b, Ac2_b, bc_col, Rw_b, Qw_b,
     reff = Ru + jnp.concatenate([sm.mtv(Ac1, db1), sm.mtv(Ac2, db2)], axis=0)
     q = sm.mv(Qw_b, x - xr)
 
-    # ---- structured Riccati products ------------------------------------
-    Pc0, Pc1, Pc2, Pc3 = _cb(P, 0), _cb(P, 1), _cb(P, 2), _cb(P, 3)
-    # M = P Jx : col-blocks [P03 D1 | P03 D2 | P36 SF | P69]
-    M = jnp.concatenate([sm.mm(Pc0, D12), sm.mm(Pc1, SF), Pc2], axis=1)
-    PA = P + dt * M
-    # W = P Ju : col-blocks [P36 Sr + P9/m | P36 | P36 Sl + P9/m | P36]
-    Pc3m = m_inv * Pc3
-    W = jnp.concatenate([sm.mm(Pc1, Sr) + Pc3m, Pc1,
-                         sm.mm(Pc1, Sl) + Pc3m, Pc1], axis=1)
+    P_new, p_new, Acl, K, bcl, kv = _riccati_stage_structured(
+        dt, m_inv, D1, D2, SF, Sr, Sl, Qw_b, Reff, reff, q, b, P, p, reg)
+    return P_new, p_new, Acl, K, bcl, kv, q, reff, b, con, b_bar, Ru
+
+
+def _riccati_stage_structured(dt, m_inv, D1, D2, SF, Sr, Sl, Qw_b, Reff,
+                              reff, q, b, P, p, reg: float,
+                              with_acl: bool = True):
+    """One structured backward-Riccati stage given the linearization
+    blocks (see ``_backward_stage_structured``); also the stage body of
+    the plane-phase kernels (ops/sqp_planes), which feed it blocks read
+    from the VMEM linearization pack instead of computing them inline.
+
+    Returns (P_new, p_new, Acl, K, bcl, kv); with ``with_acl=False``
+    Acl/bcl are None (the caller rolls forward with A dx + B du + b from
+    the structured blocks instead — same values to rounding, saves the
+    A + BK assembly and the [N,12,12,block] Acl parking).
+
+    Row-recipe form: Jx'/Ju' row recipes produce full-width [3,12,block]
+    slabs (second-minor 12 -> 75 % sublane occupancy); the direct column
+    assemblies of M = P Jx / W = P Ju produce [12,3,block] pieces that
+    run ~5x slower on this chip (445 vs 2285 GFLOP/s,
+    tools/probe_pack.py). Since the kernel keeps P exactly symmetric,
+    M = (Jx'P)' and P Ju = (Ju'P)' — compute the row-recipe transposes
+    V = Jx'P, U = Ju'P (V doubles as the Jx'P term of A'PA) and pay one
+    cheap leading-dim swapaxes each (~9 % of an mm12, probe-measured),
+    bitwise-identical sums to the column assemblies."""
+    dtype = P.dtype
+    block = P.shape[-1]
 
     def JuT(Mat):
         """Ju' @ Mat rows: [Sr' M1 + M3/m | M1 | Sl' M1 + M3/m | M1]."""
@@ -193,16 +214,7 @@ def _backward_stage_structured(params, Ac1_b, Ac2_b, bc_col, Rw_b, Qw_b,
         c = sm.mtv(Sl, v1) + m_inv * v3
         return jnp.concatenate([a, v1, c, v1], axis=0)
 
-    eye_reg = jnp.asarray(reg, dtype) * jnp.eye(NX, dtype=dtype)[:, :, None]
-    G = Reff + (dt * dt) * JuT(W) + eye_reg            # Reff + B'P B
-    H = dt * JuT(PA)                                   # B'P A
-    L, dinv = sm.cholesky(G)
-    K = -sm.chol_solve(L, dinv, H)
-    Pb_p = sm.mv(P, b) + p
-    kv = -jnp.squeeze(
-        sm.chol_solve(L, dinv, (dt * JuTv(Pb_p) + reff)[:, None, :]), 1)
-
-    # A'P A = P + dt (M + Jx'P) + dt^2 Jx'M ; Jx' rows pick [D1'|D2'|SF'|I]
+    # Jx' rows pick [D1'|D2'|SF'|I]
     def JxT(Mat):
         M0, M1, M2 = _rb(Mat, 0), _rb(Mat, 1), _rb(Mat, 2)
         return jnp.concatenate([sm.mtm(D1, M0), sm.mtm(D2, M0),
@@ -213,10 +225,28 @@ def _backward_stage_structured(params, Ac1_b, Ac2_b, bc_col, Rw_b, Qw_b,
         return jnp.concatenate([sm.mtv(D1, v0), sm.mtv(D2, v0),
                                 sm.mtv(SF, v1), v2], axis=0)
 
-    P_new = (Qw_b + P + dt * (M + JxT(P)) + (dt * dt) * JxT(M)
+    V = JxT(P)                                         # Jx' P
+    U = JuT(P)                                         # Ju' P
+    M = jnp.swapaxes(V, 0, 1)                          # P Jx  (P = P')
+    PA = P + dt * M
+    eye_reg = jnp.asarray(reg, dtype) * jnp.eye(NX, dtype=dtype)[:, :, None]
+    # B'P B = dt^2 Ju'(P Ju) = dt^2 Ju'(Ju'P)'
+    G = Reff + (dt * dt) * JuT(jnp.swapaxes(U, 0, 1)) + eye_reg
+    H = dt * JuT(PA)                                   # B'P A
+    L, dinv = sm.cholesky(G)
+    K = -sm.chol_solve(L, dinv, H)
+    Pb_p = sm.mv(P, b) + p
+    kv = -jnp.squeeze(
+        sm.chol_solve(L, dinv, (dt * JuTv(Pb_p) + reff)[:, None, :]), 1)
+
+    # A'P A = P + dt (M + Jx'P) + dt^2 Jx'M
+    P_new = (Qw_b + P + dt * (M + V) + (dt * dt) * JxT(M)
              + sm.mtm(H, K))
     P_new = 0.5 * (P_new + jnp.swapaxes(P_new, 0, 1))
     p_new = q + Pb_p + dt * JxTv(Pb_p) + sm.mtv(H, kv)
+
+    if not with_acl:
+        return P_new, p_new, None, K, None, kv
 
     # Acl = A + B K ; A assembled by concatenation only (I + dt Jx)
     z3 = jnp.zeros((3, 3, block), dtype)
@@ -240,8 +270,7 @@ def _backward_stage_structured(params, Ac1_b, Ac2_b, bc_col, Rw_b, Qw_b,
         zv, dt * (sm.mv(Sr, kv0) + kv1 + sm.mv(Sl, kv2) + kv3),
         zv, (dt * m_inv) * (kv0 + kv2)], axis=0)
     bcl = b + Bkv
-
-    return P_new, p_new, Acl, K, bcl, kv, q, reff, b, con, b_bar, Ru
+    return P_new, p_new, Acl, K, bcl, kv
 
 
 def _accumulate_merit(acc_scr, is_first, b, con, b_bar, u, Ru, x, xr, q,

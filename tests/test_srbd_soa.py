@@ -65,3 +65,20 @@ class TestSoaEquivalence:
         Jx, Ju = srbd_soa.jacobians(params, x, u)
         Jxr, Jur = srbd.continuous_jacobians(params, x.T, u.T)
         np.testing.assert_allclose(jnp.moveaxis(Jx, -1, 0), Jxr, atol=1e-8)
+
+    def test_linearize_stage_matches_separate_calls(self):
+        # linearize_stage shares the so3 chain / RIRt / w between the
+        # Jacobian blocks and RK4's first dynamics eval; must match the
+        # separate jacobian_blocks + rk4 calls to rounding (k1's R/Jlt
+        # use the chain's (1-ct)/t^2 form vs dynamics' (1-ct)*inv_t^2)
+        params, xs, us = make_batch()
+        D1, D2, SF, Sr, Sl, x_next = srbd_soa.linearize_stage(
+            params, soa(xs), soa(us))
+        D1r, D2r, SFr, Srr, Slr = srbd_soa.jacobian_blocks(
+            params, soa(xs), soa(us))
+        x_next_ref = srbd_soa.rk4(params, soa(xs), soa(us))
+        for got, ref in ((D1, D1r), (D2, D2r), (SF, SFr), (Sr, Srr),
+                         (Sl, Slr)):
+            np.testing.assert_allclose(got, ref, atol=1e-13)
+        np.testing.assert_allclose(x_next, x_next_ref, rtol=1e-12,
+                                   atol=1e-12)

@@ -89,9 +89,20 @@ def main() -> int:
                 xa, us, xra, zx, zu, alpha, xa[0] + dx0, *mb,
                 reg=cfg.reg, block=B))
 
-        # one-pass vs two-pass vs candidate(alpha=1, zero direction) parity
+        from srbd_nmpc_tpu.ops import sqp_planes
+
+        dxp, dup, dphip, _ = check(
+            "sqp_qp_solve_onepass_planes",
+            lambda: sqp_planes.sqp_qp_solve_onepass_planes(
+                params, weights.Q, weights.Qf, weights.R, Ac, bc,
+                xa, us, xra, zx, zu, jnp.zeros((B,), dtype), xa[0] + dx0,
+                *mb, reg=cfg.reg, block=B))
+
+        # one-pass vs two-pass vs candidate(alpha=1, zero direction) vs
+        # plane-phase (alpha=0) parity
         for name, (dxo, duo) in {"onepass": (dx1, du1),
-                                 "cand": (dxc, duc)}.items():
+                                 "cand": (dxc, duc),
+                                 "planes": (dxp, dup)}.items():
             err = max(float(jnp.max(jnp.abs(dxo - dx2))),
                       float(jnp.max(jnp.abs(duo - du2))))
             if not err < 1e-2:
