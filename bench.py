@@ -9,9 +9,10 @@ line search, up to 15 iterations) from the reference's cold initialization
 ``vs_baseline`` is value / 1e4 (the driver's v5e target; the reference
 itself publishes no numbers — BASELINE.md).
 
-Env knobs: BENCH_BATCH (default 16384 — throughput saturates there:
-49.9k/59.5k/64.9k/66.5k solves/s at 4k/8k/16k/32k), BENCH_REPS (default
-20), BENCH_REFINE (default 0; the fused Pallas QP kernel path).
+Env knobs: BENCH_BATCH (default 131072 — the round-4 stage-plane kernel
+keeps scaling past the old 16k saturation point: 154k/174k/188k/193k
+solves/s at 16k/32k/64k/128k), BENCH_REPS (default 10), BENCH_REFINE
+(default 0; the fused Pallas QP kernel path).
 """
 
 import json
@@ -90,8 +91,8 @@ def parity_gate(params, weights, cfg, x_ref, dtype, B: int = 512) -> float:
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "16384"))
-    reps = int(os.environ.get("BENCH_REPS", "20"))
+    batch = int(os.environ.get("BENCH_BATCH", "131072"))
+    reps = int(os.environ.get("BENCH_REPS", "10"))
     refine = int(os.environ.get("BENCH_REFINE", "0"))
 
     from srbd_nmpc_tpu.models import srbd

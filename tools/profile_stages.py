@@ -141,8 +141,27 @@ def main():
             return acc + th[0] * 1e-20
         return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0, dtype))
 
-    # --- stage: one full SoA sqp step (incl. line search + masking glue) ---
+    # --- stage: plane-phase one-pass kernel (ops/sqp_planes, the
+    # production path; alpha=0 bootstrap mode) ---
+    from srbd_nmpc_tpu.ops import sqp_planes
     x0s_t = jnp.moveaxis(x0s, 0, -1)
+
+    @jax.jit
+    def planes_loop(xs_t, us_t, xr_t, x0s_t):
+        zx = jnp.zeros_like(xs_t)
+        zu = jnp.zeros_like(us_t)
+        za = jnp.zeros((B,), dtype)
+
+        def body(i, acc):
+            with jax.default_matmul_precision("float32"):
+                dx, du, dphi, aux = sqp_planes.sqp_qp_solve_onepass_planes(
+                    params, weights.Q, weights.Qf, weights.R, Ac, bc,
+                    xs_t + acc * 0, us_t, xr_t, zx, zu, za, x0s_t,
+                    cfg.mu_barrier, cfg.theta_barrier, reg=1e-9, block=256)
+            return acc + du[0, 0, 0] * 1e-20
+        return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0, dtype))
+
+    # --- stage: one full SoA sqp step (incl. line search + masking glue) ---
     act_b = jnp.ones((B,), bool)
 
     @jax.jit
@@ -180,6 +199,8 @@ def main():
     t_mer = timed("merit_pallas (line-search eval)", lambda: merit_loop(xs_t, us_t, xr_t), reps)
     t_one = timed("sqp_qp_solve_onepass (fused)",
                   lambda: onepass_loop(xs_t, us_t, xr_t, dx0s), reps)
+    t_pln = timed("sqp_qp_solve_onepass_planes",
+                  lambda: planes_loop(xs_t, us_t, xr_t, x0s_t), reps)
     t_mal = timed("merit_alpha_pallas (ls candidate)",
                   lambda: merit_alpha_loop(xs_t, us_t, xr_t, dxs_t, dus_t,
                                            alpha_b), reps)
