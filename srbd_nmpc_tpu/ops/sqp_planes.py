@@ -69,6 +69,117 @@ _DDB = 63        # 24: barrier curvature ddb
 _C = 87
 
 
+def _rb(M, i):
+    """Row-block i (rows 3i:3i+3) of a [12, ..., B] SoA array."""
+    return jax.lax.slice_in_dim(M, 3 * i, 3 * i + 3, axis=0)
+
+
+def _riccati_stage_rank6(dt, m_inv, D1, D2, SF, Sr, Sl, Qw_b, R1h, R2h,
+                         reff, q, b, P, p):
+    """Structured backward-Riccati stage exploiting rank(B) = 6.
+
+    The SRBD control Jacobian Ju has only 6 nonzero rows (row-blocks 1
+    and 3: W = [[Sr, I, Sl, I], [I/m, 0, I/m, 0]], SRBD_model.cpp:
+    121-140), so B = dt Ju = dt S W with S a row selector and
+    G = R^ + dt^2 W' Pss W, where R^ = Reff + reg I is leg-BLOCK-DIAGONAL
+    (R1h/R2h [6,6,block], requires block-diagonal R weights — checked
+    host-side) and Pss = P[(3:6,9:12),(3:6,9:12)] is just a [6,6]
+    subblock of P. The 12x12 Cholesky + 13-rhs solve of the dense stage
+    becomes 6x6 factorizations via the push-through identity
+
+        G^-1 W' = R^-1 W' M6^-1,   M6 = I + dt^2 Pss T,  T = W R^-1 W',
+
+    with M6 solved SYMMETRICALLY: T = Lt Lt', w = (I + dt^2 Lt'Pss Lt)^-1
+    Lt'y, x = y - dt^2 Pss Lt w (all SPD 6x6 — no pivoting needed; M6
+    itself is nonsymmetric). Returns (P_new, p_new, K, kv) — bit-level
+    different rounding from the 12x12 path but the same linear algebra;
+    validated at f64 in tests/test_sqp_planes.py.
+    """
+    dtype = P.dtype
+    block = P.shape[-1]
+    dt2 = dt * dt
+
+    # Jx' row recipes (identical to _riccati_stage_structured)
+    def JxT(Mat):
+        M0, M1, M2 = _rb(Mat, 0), _rb(Mat, 1), _rb(Mat, 2)
+        return jnp.concatenate([sm.mtm(D1, M0), sm.mtm(D2, M0),
+                                sm.mtm(SF, M1), M2], axis=0)
+
+    def JxTv(v):
+        v0, v1, v2 = _rb(v, 0), _rb(v, 1), _rb(v, 2)
+        return jnp.concatenate([sm.mtv(D1, v0), sm.mtv(D2, v0),
+                                sm.mtv(SF, v1), v2], axis=0)
+
+    V = JxT(P)                                         # Jx' P
+    M = jnp.swapaxes(V, 0, 1)                          # P Jx  (P = P')
+    PA = P + dt * M
+
+    def srows(X):
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(X, 3, 6, axis=0),
+             jax.lax.slice_in_dim(X, 9, 12, axis=0)], axis=0)
+
+    Y = srows(PA)                                      # [6, 12, block]
+    Pb_p = sm.mv(P, b) + p
+    ys = srows(Pb_p)                                   # [6, block]
+    Ps = srows(P)                                      # [6, 12, block]
+    Pss = jnp.concatenate(
+        [jax.lax.slice_in_dim(Ps, 3, 6, axis=1),
+         jax.lax.slice_in_dim(Ps, 9, 12, axis=1)], axis=1)  # [6, 6, block]
+
+    # W' column blocks: C1 = [[Sr', I/m], [I, 0]], C2 = [[Sl', I/m], [I, 0]]
+    z3 = jnp.zeros((3, 3, block), dtype)
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype)[:, :, None], (3, 3, block))
+    Im3 = m_inv * I3
+    C1 = jnp.concatenate([
+        jnp.concatenate([jnp.swapaxes(Sr, 0, 1), Im3], axis=1),
+        jnp.concatenate([I3, z3], axis=1)], axis=0)
+    C2 = jnp.concatenate([
+        jnp.concatenate([jnp.swapaxes(Sl, 0, 1), Im3], axis=1),
+        jnp.concatenate([I3, z3], axis=1)], axis=0)
+
+    L1, d1 = sm.cholesky(R1h)
+    L2, d2 = sm.cholesky(R2h)
+    E1 = sm.chol_solve(L1, d1, C1)                     # R^-1 W' top
+    E2 = sm.chol_solve(L2, d2, C2)                     # R^-1 W' bottom
+    T = sm.mtm(C1, E1) + sm.mtm(C2, E2)                # W R^-1 W'  [6,6]
+    Lt, dt6 = sm.cholesky(T)
+    PssLt = sm.mm(Pss, Lt)
+    Ms = sm.add_diag(dt2 * sm.mtm(Lt, PssLt), 1.0)     # I + dt^2 Lt'Pss Lt
+    Lm, dm = sm.cholesky(Ms)
+
+    # r~ = R^-1 reff (block-diagonal solve), w_r = W r~
+    r1 = jax.lax.slice_in_dim(reff, 0, 6, axis=0)
+    r2 = jax.lax.slice_in_dim(reff, 6, 12, axis=0)
+    rt1 = sm.chol_solve_vec(L1, d1, r1)
+    rt2 = sm.chol_solve_vec(L2, d2, r2)
+    w_r = sm.mtv(C1, rt1) + sm.mtv(C2, rt2)            # W r~ = C1' rt1 + ...
+    zvec = dt * ys - dt2 * sm.mv(Pss, w_r)
+
+    # M6^-1 applied to [Y | zvec] via the symmetric inner system
+    RHS = jnp.concatenate([Y, zvec[:, None, :]], axis=1)   # [6, 13, block]
+    w = sm.chol_solve(Lm, dm, sm.mtm(Lt, RHS))
+    X = RHS - dt2 * sm.mm(Pss, sm.mm(Lt, w))
+    Yh = jax.lax.slice_in_dim(X, 0, 12, axis=1)        # M6^-1 Y
+    zh = jnp.squeeze(jax.lax.slice_in_dim(X, 12, 13, axis=1), 1)
+
+    # K = -dt R^-1 W' Yh = -dt [E1 Yh; E2 Yh]; kv = -(r~ + R^-1 W' zh)
+    K = -dt * jnp.concatenate([sm.mm(E1, Yh), sm.mm(E2, Yh)], axis=0)
+    kv = -jnp.concatenate([rt1 + sm.mv(E1, zh), rt2 + sm.mv(E2, zh)], axis=0)
+
+    # H'K = dt Y'(W K) with W K = -dt T Yh; H'kv = dt Y'(W kv),
+    # W kv = -(w_r + T zh)
+    WK = -dt * sm.mm(T, Yh)
+    HtK = dt * sm.mtm(Y, WK)
+    Wkv = -(w_r + sm.mv(T, zh))
+    Htkv = dt * sm.mtv(Y, Wkv)
+
+    P_new = Qw_b + P + dt * (M + V) + dt2 * JxT(M) + HtK
+    P_new = 0.5 * (P_new + jnp.swapaxes(P_new, 0, 1))
+    p_new = q + Pb_p + dt * JxTv(Pb_p) + Htkv
+    return P_new, p_new, K, kv
+
+
 def _planes_phase(scal_ref, iinv_ref, foot_ref, ac1_ref, ac2_ref, bc_ref,
                   Rw_ref, Qw_ref, Qf_ref, xa_ref, u_ref, xr_ref,
                   dxc_ref, duc_ref, alpha_ref,
@@ -188,12 +299,14 @@ def _planes_phase(scal_ref, iinv_ref, foot_ref, ac1_ref, ac2_ref, bc_ref,
 
 
 def _onepass_planes_kernel(scal_ref, iinv_ref, foot_ref, ac1_ref, ac2_ref,
-                           bc_ref, Rw_ref, Qw_ref, Qf_ref, xa_ref, u_ref,
+                           bc_ref, Rw_ref, rw11_ref, rw22_ref, Qw_ref,
+                           Qf_ref, xa_ref, u_ref,
                            xr_ref, dxc_ref, duc_ref, alpha_ref, dx0_ref,
                            dx_ref, du_ref, dphi_ref,
                            theta_ref, phi_ref, maxdef_ref, mincon_ref,
                            P_scr, p_scr, qN_scr, pack_scr, K_scr, kv_scr,
-                           mu_b: float, theta_b: float, reg: float, N: int):
+                           mu_b: float, theta_b: float, reg: float, N: int,
+                           rank6: bool):
     g = pl.program_id(1)
     dtype = xa_ref.dtype
     block = xa_ref.shape[-1]
@@ -239,14 +352,20 @@ def _onepass_planes_kernel(scal_ref, iinv_ref, foot_ref, ac1_ref, ac2_ref,
         ddb2 = jax.lax.slice_in_dim(ddb, 12, 24, axis=0)
         C11 = sm.mtm(Ac1, Ac1 * ddb1[:, None])
         C22 = sm.mtm(Ac2, Ac2 * ddb2[:, None])
-        z66 = jnp.zeros((6, 6, block), dtype)
-        Reff = widen(Rw_ref[...]) + jnp.concatenate([
-            jnp.concatenate([C11, z66], axis=1),
-            jnp.concatenate([z66, C22], axis=1)], axis=0)
-
-        P_new, p_new, _, K, _, kv = _riccati_stage_structured(
-            dt, m_inv, D1, D2, SF, Sr, Sl, widen(Qw_ref[...]), Reff,
-            reff, q, b, P_scr[...], p_scr[...], reg, with_acl=False)
+        if rank6:
+            R1h = sm.add_diag(widen(rw11_ref[...]) + C11, reg)
+            R2h = sm.add_diag(widen(rw22_ref[...]) + C22, reg)
+            P_new, p_new, K, kv = _riccati_stage_rank6(
+                dt, m_inv, D1, D2, SF, Sr, Sl, widen(Qw_ref[...]),
+                R1h, R2h, reff, q, b, P_scr[...], p_scr[...])
+        else:
+            z66 = jnp.zeros((6, 6, block), dtype)
+            Reff = widen(Rw_ref[...]) + jnp.concatenate([
+                jnp.concatenate([C11, z66], axis=1),
+                jnp.concatenate([z66, C22], axis=1)], axis=0)
+            P_new, p_new, _, K, _, kv = _riccati_stage_structured(
+                dt, m_inv, D1, D2, SF, Sr, Sl, widen(Qw_ref[...]), Reff,
+                reff, q, b, P_scr[...], p_scr[...], reg, with_acl=False)
         P_scr[...] = P_new
         p_scr[...] = p_new
         K_scr[pl.ds(k, 1)] = K[None]
@@ -314,14 +433,27 @@ def sqp_qp_solve_onepass_planes(
     dxc: jnp.ndarray, duc: jnp.ndarray, alpha: jnp.ndarray,
     x0s: jnp.ndarray,
     mu_b: float, theta_b: float, reg: float = 0.0, block: int = 256,
+    rank6: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, ...]]:
     """Fused SQP QP solve AT THE CANDIDATE (xa + alpha dxc, us + alpha duc)
     with the plane-phase linearization (module docstring). Same contract
     as ``sqp_pallas.sqp_qp_solve_onepass_cand``; the bootstrap call is
     this with alpha = 0 (then dxc/duc are ignored by value).
 
+    ``rank6`` uses the rank-6 backward stage (_riccati_stage_rank6:
+    6x6 factorizations instead of the 12x12 Cholesky); it requires R_w
+    leg-block-diagonal — when R_w is concrete and has nonzero off-blocks
+    the flag silently falls back to the 12x12 path. Default OFF: despite
+    ~27 % fewer Riccati FLOPs it measured 4 % SLOWER on chip (6.26 vs
+    6.00 ms/launch at B=16384) — four 6x6 Cholesky dependency chains
+    (R1, R2, T, Ms) serialize deeper than one 12x12; the factorization
+    is latency-bound, not FLOP-bound. Kept as a validated reference
+    (tests/test_sqp_planes.py::test_rank6_matches_dense_stage).
+
     REQUIRES ``Ac`` leg-block-diagonal (checked when concrete, see
     sqp_pallas._split_leg_blocks)."""
+    import numpy as np
+
     N = us.shape[0]
     Bt = xa.shape[-1]
     assert Bt % block == 0, (Bt, block)
@@ -333,6 +465,15 @@ def sqp_qp_solve_onepass_planes(
     ]).reshape(_NPARAM, 1)
     dx0 = x0s - (xa[0] + alpha[None, :] * dxc[0])
     Ac1, Ac2 = _split_leg_blocks(Ac)
+    if rank6 and (isinstance(R_w, np.ndarray) or (
+            isinstance(R_w, jax.Array)
+            and not isinstance(R_w, jax.core.Tracer))):
+        R_np = np.asarray(R_w)
+        if (np.max(np.abs(R_np[0:6, 6:12])) > 0
+                or np.max(np.abs(R_np[6:12, 0:6])) > 0):
+            rank6 = False
+    Rw11 = jax.lax.slice(R_w, (0, 0), (6, 6))
+    Rw22 = jax.lax.slice(R_w, (6, 6), (12, 12))
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i, g: (0,) * len(shape))
     lane_ = lambda i, g: (0, i)
@@ -342,7 +483,8 @@ def sqp_qp_solve_onepass_planes(
         const(_NPARAM, 1), const(3, 3), const(2, 3),
         const(NX, 6), const(NX, 6),
         pl.BlockSpec((NG, 1), lambda i, g: (0, 0)),
-        const(NU, NU), const(NX, NX), const(NX, NX),
+        const(NU, NU), const(6, 6), const(6, 6),
+        const(NX, NX), const(NX, NX),
         full3(N + 1, NX),                      # xa (whole trajectory)
         full3(N, NU),                          # u
         full3(N + 1, NX),                      # xr
@@ -371,7 +513,7 @@ def sqp_qp_solve_onepass_planes(
     ]
     outs = pl.pallas_call(
         functools.partial(_onepass_planes_kernel, mu_b=mu_b,
-                          theta_b=theta_b, reg=reg, N=N),
+                          theta_b=theta_b, reg=reg, N=N, rank6=rank6),
         grid=(Bt // block, N + 1),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -389,7 +531,8 @@ def sqp_qp_solve_onepass_planes(
         ),
     )(scal, params.inertia_inv.astype(dtype), params.foot_pos.astype(dtype),
       Ac1.astype(dtype), Ac2.astype(dtype), bc.astype(dtype).reshape(NG, 1),
-      R_w.astype(dtype), Q_w.astype(dtype), Qf_w.astype(dtype),
+      R_w.astype(dtype), Rw11.astype(dtype), Rw22.astype(dtype),
+      Q_w.astype(dtype), Qf_w.astype(dtype),
       xa, us, xra, dxc, duc, alpha.reshape(1, Bt), dx0)
     dx_rest, du, dphi, theta, phi, maxdef, mincon = outs
     dx = jnp.concatenate([dx0[None], dx_rest], axis=0)

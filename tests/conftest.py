@@ -21,3 +21,21 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles hundreds of f64 programs in one process; on
+    this image the XLA CPU compiler segfaulted twice (same position,
+    backend_compile_and_load, 125 GB free RAM) compiling the pscan
+    engine program late in the suite — with per-module cache clearing
+    the suite completes. Modules rarely share compilations (different
+    cfg/dtype), so the runtime cost is small.
+    """
+    yield
+    jax.clear_caches()

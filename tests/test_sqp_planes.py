@@ -125,3 +125,54 @@ def test_engine_planes_matches_dense_paths(interpret_pallas):
     np.testing.assert_allclose(st_p.x, st_d.x, rtol=1e-9, atol=1e-11)
     np.testing.assert_array_equal(info_p.sqp_iters, info_d.sqp_iters)
     np.testing.assert_array_equal(info_p.converged, info_d.converged)
+
+
+def test_rank6_matches_dense_stage(interpret_pallas):
+    # rank-6 backward stage (push-through/Woodbury, 6x6 factorizations)
+    # vs the 12x12 structured stage — same linear algebra, different
+    # factorization; f64 agreement to ~1e-11
+    from srbd_nmpc_tpu.ops import sqp_planes
+
+    B, N = 8, 5
+    dtype = jnp.float64
+    cfg, params, weights, xa, us, xra, x0s, rng = _setup(B, N, dtype, seed=5)
+    Ac, bc = srbd.constraint_matrix(params)
+    dxc = jnp.asarray(rng.normal(size=(N + 1, 12, B)) * 0.05, dtype)
+    duc = jnp.asarray(rng.normal(size=(N, 12, B)) * 2.0, dtype)
+    alpha = jnp.asarray(0.25 + 0.5 * rng.random(B), dtype)
+    args = (params, weights.Q, weights.Qf, weights.R, Ac, bc,
+            xa, us, xra, dxc, duc, alpha, x0s,
+            cfg.mu_barrier, cfg.theta_barrier)
+    o6 = sqp_planes.sqp_qp_solve_onepass_planes(
+        *args, reg=1e-9, block=B, rank6=True)
+    o12 = sqp_planes.sqp_qp_solve_onepass_planes(
+        *args, reg=1e-9, block=B, rank6=False)
+    np.testing.assert_allclose(o6[0], o12[0], rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(o6[1], o12[1], rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(o6[2], o12[2], rtol=1e-9, atol=1e-9)
+    for a, b in zip(o6[3], o12[3]):
+        np.testing.assert_array_equal(a, b)  # merit: identical plane phase
+
+
+def test_rank6_falls_back_on_dense_R(interpret_pallas):
+    # a non-block-diagonal R weight must silently use the 12x12 path and
+    # still be CORRECT (compared against the dense one-pass kernel)
+    from srbd_nmpc_tpu.ops import sqp_pallas, sqp_planes
+
+    B, N = 8, 4
+    dtype = jnp.float64
+    cfg, params, weights, xa, us, xra, x0s, rng = _setup(B, N, dtype, seed=9)
+    Ac, bc = srbd.constraint_matrix(params)
+    Rfull = weights.R + 1e-6 * jnp.ones((12, 12), dtype)  # dense coupling
+    zx = jnp.zeros_like(xa)
+    zu = jnp.zeros_like(us)
+    za = jnp.zeros(B, dtype)
+    op = sqp_planes.sqp_qp_solve_onepass_planes(
+        params, weights.Q, weights.Qf, Rfull, Ac, bc, xa, us, xra,
+        zx, zu, za, x0s, cfg.mu_barrier, cfg.theta_barrier,
+        reg=1e-9, block=B, rank6=True)
+    od = sqp_pallas.sqp_qp_solve_onepass(
+        params, weights.Q, weights.Qf, Rfull, Ac, bc, xa, us, xra,
+        x0s - xa[0], cfg.mu_barrier, cfg.theta_barrier, reg=1e-9, block=B)
+    np.testing.assert_allclose(op[0], od[0], rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(op[1], od[1], rtol=1e-9, atol=1e-9)
