@@ -146,7 +146,10 @@ _E = (((0.0, 0.0, 0.0), (0.0, 0.0, -1.0), (0.0, 1.0, 0.0)),
 
 
 def _safe_theta(r):
-    h = None
+    # default to the f32 clamp when every entry is a Python float constant
+    # (e.g. an all-zero rotation vector) — there is no dtype to inspect
+    # and h * None would TypeError (ADVICE r4)
+    h = _theta_min(jnp.float32)
     for e in r:
         if not isinstance(e, (int, float)):
             h = _theta_min(e.dtype)

@@ -254,20 +254,34 @@ def _ipm_solve(qp, x0, settings, warm_start):
         sol = lqr_solve(qp, x0, reg=settings.reg_prim, sqrt=settings.ric_alg)
         r_dyn, r_sx, r_su = kkt_residuals(qp, sol.x, sol.u, sol.pi)
         res_stat = jnp.maximum(jnp.max(jnp.abs(r_sx)), jnp.max(jnp.abs(r_su)))
+        res_eq = jnp.max(jnp.abs(r_dyn))
+        # a non-finite Riccati solution escaped every in-loop detector
+        # (there is no loop): report it as UNKNOWN_FAILURE, the
+        # reference wrapper's catch-all default branch
+        # (ocp_qp_ipm_solver.cpp:406-413)
+        finite = jnp.isfinite(jnp.sum(sol.x) + jnp.sum(sol.u)
+                              + jnp.sum(sol.pi))
         zeros = jnp.zeros((iter_max + 1,), dtype)
         stats = IpmStatistics(
             iter=jnp.asarray(0, jnp.int32),
-            status=jnp.asarray(IpmStatus.SUCCESS, jnp.int32),
+            status=jnp.where(finite, int(IpmStatus.SUCCESS),
+                             int(IpmStatus.UNKNOWN_FAILURE)
+                             ).astype(jnp.int32),
             max_res_stat=res_stat,
-            max_res_eq=jnp.max(jnp.abs(r_dyn)),
+            max_res_eq=res_eq,
             max_res_ineq=jnp.asarray(0.0, dtype),
             max_res_comp=jnp.asarray(0.0, dtype),
             alpha_aff=zeros, mu_aff=zeros, sigma=zeros,
             alpha_prim=zeros, alpha_dual=zeros, mu=zeros,
             res_stat=zeros.at[0].set(res_stat),
-            res_eq=zeros.at[0].set(jnp.max(jnp.abs(r_dyn))),
+            res_eq=zeros.at[0].set(res_eq),
             res_ineq=zeros, res_comp=zeros,
             obj=zeros.at[0].set(_objective(qp, sol.x, sol.u)),
+            # the single Riccati solve IS the Newton system here: its KKT
+            # residuals are the linear-system residuals
+            lin_res_stat=zeros.at[0].set(res_stat),
+            lin_res_eq=zeros.at[0].set(res_eq),
+            lin_res_ineq=zeros, lin_res_comp=zeros,
         )
         return sol, stats
 
@@ -440,6 +454,61 @@ def _ipm_solve(qp, x0, settings, warm_start):
                         s_l=ds_l, s_u=ds_u, tb_l=dtb_l, tb_u=dtb_u,
                         mu_l=dmu_l, mu_u=dmu_u)
 
+    def linear_residual_norms(it: _Iterate, d: _Iterate, rhs_c, resids):
+        """Inf-norm residuals of the FULL Newton linear system at the
+        computed direction ``d`` — HPIPM's ``lin_res_{stat,eq,ineq,comp}``
+        columns (ocp_qp_ipm_solver_statistics.hpp:54-57, harvested at
+        src/ocp_qp_ipm_solver.cpp:396-398). In exact arithmetic all four
+        are zero; in f32 the stat/eq rows expose the Riccati backsolve
+        error (the slack/complementarity rows are satisfied to rounding by
+        the elimination formulas), which is the refinement diagnostic.
+        """
+        (r_dyn, r_sx, r_su, r_l, r_u, r_bl, r_bu, r_ssl, r_ssu) = resids
+        rc_l, rc_u, rc_bl, rc_bu = rhs_c
+        # dynamics rows: dx_{k+1} - A dx_k - B du_k = r_dyn
+        Adx = jnp.einsum("nij,nj->ni", qp.A, d.x[:-1])
+        Bdu = jnp.einsum("nij,nj->ni", qp.B, d.u)
+        lin_eq = d.x[1:] - Adx - Bdu - r_dyn
+        # stationarity rows (BASE Hessians + constraint-dual columns):
+        #   Q dx + S'du + A'dpi_{+1} - dpi + Gx'(dlu - dll) = -r_sx_full
+        dlam = d.lu * con.mask_u - d.ll * con.mask_l
+        gx_dlam = jnp.einsum("nmj,nm->nj", con.Gx, dlam)
+        gu_dlam = jnp.einsum("nmj,nm->nj", con.Gu, dlam)[:-1]
+        Qdx = jnp.einsum("nij,nj->ni", qp.Q, d.x)
+        Stdu = jnp.einsum("nji,nj->ni", qp.S, d.u)
+        Atdpi = jnp.einsum("nji,nj->ni", qp.A, d.pi[1:])
+        lin_sx = Qdx - d.pi + gx_dlam + r_sx
+        lin_sx = lin_sx.at[:-1].add(Stdu + Atdpi)
+        Rdu = jnp.einsum("nij,nj->ni", qp.R, d.u)
+        Sdx = jnp.einsum("nij,nj->ni", qp.S, d.x[:-1])
+        Btdpi = jnp.einsum("nji,nj->ni", qp.B, d.pi[1:])
+        lin_su = Rdu + Sdx + Btdpi + gu_dlam + r_su
+        lin_ssl = (con.Zl * d.s_l - d.ll - d.mu_l + r_ssl) * con.soft_l
+        lin_ssu = (con.Zu * d.s_u - d.lu - d.mu_u + r_ssu) * con.soft_u
+        lin_stat = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(lin_sx)), jnp.max(jnp.abs(lin_su))),
+            jnp.maximum(jnp.max(jnp.abs(lin_ssl)), jnp.max(jnp.abs(lin_ssu))))
+        # inequality rows: Gdz + ds - dsl = -r
+        du_full = jnp.concatenate([d.u, jnp.zeros_like(d.u[:1])], axis=0)
+        Gdz = (jnp.einsum("nmj,nj->nm", con.Gx, d.x)
+               + jnp.einsum("nmj,nj->nm", con.Gu, du_full))
+        lin_l = (Gdz + d.s_l * con.soft_l - d.sl + r_l) * con.mask_l
+        lin_u = (-Gdz + d.s_u * con.soft_u - d.su + r_u) * con.mask_u
+        lin_bl = (d.s_l - d.tb_l + r_bl) * con.soft_l
+        lin_bu = (d.s_u - d.tb_u + r_bu) * con.soft_u
+        lin_ineq = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(lin_l)), jnp.max(jnp.abs(lin_u))),
+            jnp.maximum(jnp.max(jnp.abs(lin_bl)), jnp.max(jnp.abs(lin_bu))))
+        # complementarity rows: lam dsl + sl dll = -rc
+        lin_cl = (it.ll * d.sl + it.sl * d.ll + rc_l) * con.mask_l
+        lin_cu = (it.lu * d.su + it.su * d.lu + rc_u) * con.mask_u
+        lin_cbl = (it.mu_l * d.tb_l + it.tb_l * d.mu_l + rc_bl) * con.soft_l
+        lin_cbu = (it.mu_u * d.tb_u + it.tb_u * d.mu_u + rc_bu) * con.soft_u
+        lin_comp = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(lin_cl)), jnp.max(jnp.abs(lin_cu))),
+            jnp.maximum(jnp.max(jnp.abs(lin_cbl)), jnp.max(jnp.abs(lin_cbu))))
+        return lin_stat, jnp.max(jnp.abs(lin_eq)), lin_ineq, lin_comp
+
     def one_iteration(it: _Iterate):
         resids, _ = residual_norms(it)
         mu = compute_mu(it)
@@ -517,13 +586,18 @@ def _ipm_solve(qp, x0, settings, warm_start):
             mu_l=jnp.where(con.soft_l > 0, it.mu_l + a_du * d.mu_l, 0.0),
             mu_u=jnp.where(con.soft_u > 0, it.mu_u + a_du * d.mu_u, 0.0),
         )
+        l_st, l_eq, l_iq, l_cp = linear_residual_norms(it, d, rc, resids)
         per_iter = dict(alpha_aff=a_aff, mu_aff=mu_aff, sigma=sigma,
-                        alpha_prim=a_prim, alpha_dual=a_du)
+                        alpha_prim=a_prim, alpha_dual=a_du,
+                        lin_res_stat=l_st, lin_res_eq=l_eq,
+                        lin_res_ineq=l_iq, lin_res_comp=l_cp)
         return new_it, fac, per_iter
 
     # --- main loop ----------------------------------------------------------
     stat_cols = ("alpha_aff", "mu_aff", "sigma", "alpha_prim", "alpha_dual",
-                 "mu", "res_stat", "res_eq", "res_ineq", "res_comp", "obj")
+                 "mu", "res_stat", "res_eq", "res_ineq", "res_comp", "obj",
+                 "lin_res_stat", "lin_res_eq", "lin_res_ineq",
+                 "lin_res_comp")
     zeros_hist = {c: jnp.zeros((iter_max + 1,), dtype) for c in stat_cols}
 
     def full_objective(it: _Iterate):
@@ -581,6 +655,17 @@ def _ipm_solve(qp, x0, settings, warm_start):
     status = jnp.where(
         (status == int(IpmStatus.MAX_ITER_REACHED)) & converged(it_f),
         jnp.asarray(int(IpmStatus.SUCCESS), jnp.int32), status,
+    )
+    # catch-all: a non-finite final iterate that none of the in-loop
+    # detectors classified (the NaN guard freezes at the last finite
+    # iterate, so reaching here non-finite means e.g. non-finite QP data
+    # from iteration 0) — the reference wrapper's default status branch
+    # (ocp_qp_ipm_solver.cpp:406-413 -> HpipmStatus::UnknownFailure)
+    finite_f = jnp.isfinite(jnp.sum(it_f.x) + jnp.sum(it_f.u)
+                            + jnp.sum(it_f.pi))
+    status = jnp.where(
+        jnp.logical_not(finite_f) & (status != int(IpmStatus.NAN_DETECTED)),
+        jnp.asarray(int(IpmStatus.UNKNOWN_FAILURE), jnp.int32), status,
     )
 
     # final factorization for the Riccati surface of the solution (HPIPM

@@ -281,9 +281,17 @@ def _ipm_solve_soa(qp, x0, settings, warm_start):
                                jnp.max(jnp.abs(r_su), axis=(0, 1)))
         res_eq = jnp.max(jnp.abs(r_dyn), axis=(0, 1))
         zeros = jnp.zeros((batch, iter_max + 1), dtype)
+        # non-finite per-scenario solutions escaped every detector (there
+        # is no loop): UNKNOWN_FAILURE, the reference wrapper's default
+        # branch (ocp_qp_ipm_solver.cpp:406-413)
+        finite = jnp.isfinite(jnp.sum(x, axis=(0, 1))
+                              + jnp.sum(u, axis=(0, 1))
+                              + jnp.sum(pi, axis=(0, 1)))
         stats = IpmStatistics(
             iter=jnp.zeros((batch,), jnp.int32),
-            status=jnp.full((batch,), int(IpmStatus.SUCCESS), jnp.int32),
+            status=jnp.where(finite, int(IpmStatus.SUCCESS),
+                             int(IpmStatus.UNKNOWN_FAILURE)
+                             ).astype(jnp.int32),
             max_res_stat=res_stat, max_res_eq=res_eq,
             max_res_ineq=jnp.zeros((batch,), dtype),
             max_res_comp=jnp.zeros((batch,), dtype),
@@ -293,6 +301,9 @@ def _ipm_solve_soa(qp, x0, settings, warm_start):
             res_eq=zeros.at[:, 0].set(res_eq),
             res_ineq=zeros, res_comp=zeros,
             obj=zeros.at[:, 0].set(_objective(qps, x, u)),
+            lin_res_stat=zeros.at[:, 0].set(res_stat),
+            lin_res_eq=zeros.at[:, 0].set(res_eq),
+            lin_res_ineq=zeros, lin_res_comp=zeros,
         )
         return finish(x, u, pi, fac.P, p, fac.K, k, stats)
 
@@ -443,6 +454,44 @@ def _ipm_solve_soa(qp, x0, settings, warm_start):
                         s_l=ds_l, s_u=ds_u, tb_l=dtb_l, tb_u=dtb_u,
                         mu_l=dmu_l, mu_u=dmu_u)
 
+    def linear_residual_norms(it: _Iterate, d: _Iterate, rhs_c, resids):
+        """[B] inf-norm residuals of the full Newton system at the
+        computed direction — the SoA twin of ipm.linear_residual_norms
+        (HPIPM lin_res_{stat,eq,ineq,comp},
+        ocp_qp_ipm_solver_statistics.hpp:54-57)."""
+        (r_dyn, r_sx, r_su, r_l, r_u, r_bl, r_bu, r_ssl, r_ssu) = resids
+        rc_l, rc_u, rc_bl, rc_bu = rhs_c
+
+        def mx(a):
+            return jnp.max(jnp.abs(a), axis=(0, 1))
+
+        lin_eq = d.x[1:] - _smv(qps.A, d.x[:-1]) - _smv(qps.B, d.u) - r_dyn
+        dlam = d.lu * con.mask_u - d.ll * con.mask_l
+        lin_sx = _smv(qps.Q, d.x) - d.pi + _smtv(con.Gx, dlam) + r_sx
+        lin_sx = lin_sx.at[:-1].add(
+            _smtv(qps.S, d.u) + _smtv(qps.A, d.pi[1:]))
+        lin_su = (_smv(qps.R, d.u) + _smv(qps.S, d.x[:-1])
+                  + _smtv(qps.B, d.pi[1:]) + _smtv(con.Gu, dlam)[:-1] + r_su)
+        lin_ssl = (con.Zl * d.s_l - d.ll - d.mu_l + r_ssl) * con.soft_l
+        lin_ssu = (con.Zu * d.s_u - d.lu - d.mu_u + r_ssu) * con.soft_u
+        lin_stat = jnp.maximum(jnp.maximum(mx(lin_sx), mx(lin_su)),
+                               jnp.maximum(mx(lin_ssl), mx(lin_ssu)))
+        du_full = jnp.concatenate([d.u, jnp.zeros_like(d.u[:1])], axis=0)
+        Gdz = _smv(con.Gx, d.x) + _smv(con.Gu, du_full)
+        lin_l = (Gdz + d.s_l * con.soft_l - d.sl + r_l) * con.mask_l
+        lin_u = (-Gdz + d.s_u * con.soft_u - d.su + r_u) * con.mask_u
+        lin_bl = (d.s_l - d.tb_l + r_bl) * con.soft_l
+        lin_bu = (d.s_u - d.tb_u + r_bu) * con.soft_u
+        lin_ineq = jnp.maximum(jnp.maximum(mx(lin_l), mx(lin_u)),
+                               jnp.maximum(mx(lin_bl), mx(lin_bu)))
+        lin_cl = (it.ll * d.sl + it.sl * d.ll + rc_l) * con.mask_l
+        lin_cu = (it.lu * d.su + it.su * d.lu + rc_u) * con.mask_u
+        lin_cbl = (it.mu_l * d.tb_l + it.tb_l * d.mu_l + rc_bl) * con.soft_l
+        lin_cbu = (it.mu_u * d.tb_u + it.tb_u * d.mu_u + rc_bu) * con.soft_u
+        lin_comp = jnp.maximum(jnp.maximum(mx(lin_cl), mx(lin_cu)),
+                               jnp.maximum(mx(lin_cbl), mx(lin_cbu)))
+        return lin_stat, mx(lin_eq), lin_ineq, lin_comp
+
     def one_iteration(it: _Iterate):
         resids, _ = residual_norms(it)
         mu = compute_mu(it)                                  # [B]
@@ -523,13 +572,18 @@ def _ipm_solve_soa(qp, x0, settings, warm_start):
             mu_l=jnp.where(con.soft_l > 0, it.mu_l + adu * d.mu_l, 0.0),
             mu_u=jnp.where(con.soft_u > 0, it.mu_u + adu * d.mu_u, 0.0),
         )
+        l_st, l_eq, l_iq, l_cp = linear_residual_norms(it, d, rc, resids)
         per_iter = dict(alpha_aff=a_aff, mu_aff=mu_aff, sigma=sigma,
-                        alpha_prim=a_prim, alpha_dual=a_du)
+                        alpha_prim=a_prim, alpha_dual=a_du,
+                        lin_res_stat=l_st, lin_res_eq=l_eq,
+                        lin_res_ineq=l_iq, lin_res_comp=l_cp)
         return new_it, per_iter
 
     # --- main loop (per-scenario masking) -----------------------------------
     stat_cols = ("alpha_aff", "mu_aff", "sigma", "alpha_prim", "alpha_dual",
-                 "mu", "res_stat", "res_eq", "res_ineq", "res_comp", "obj")
+                 "mu", "res_stat", "res_eq", "res_ineq", "res_comp", "obj",
+                 "lin_res_stat", "lin_res_eq", "lin_res_ineq",
+                 "lin_res_comp")
     zeros_hist = {c: jnp.zeros((iter_max + 1, batch), dtype) for c in stat_cols}
 
     def full_objective(it: _Iterate):
@@ -614,6 +668,14 @@ def _ipm_solve_soa(qp, x0, settings, warm_start):
     status = jnp.where(
         (status == int(IpmStatus.MAX_ITER_REACHED)) & converged(it_f),
         jnp.asarray(int(IpmStatus.SUCCESS), jnp.int32), status)
+    # catch-all for per-scenario non-finite final iterates none of the
+    # in-loop detectors classified (cf. ipm.py): UNKNOWN_FAILURE
+    finite_f = jnp.isfinite(jnp.sum(it_f.x, axis=(0, 1))
+                            + jnp.sum(it_f.u, axis=(0, 1))
+                            + jnp.sum(it_f.pi, axis=(0, 1)))
+    status = jnp.where(
+        jnp.logical_not(finite_f) & (status != int(IpmStatus.NAN_DETECTED)),
+        jnp.asarray(int(IpmStatus.UNKNOWN_FAILURE), jnp.int32), status)
 
     # final factorization for the Riccati solution surface (cf. ipm.py)
     _, _, _, _, w_eff_l_f, w_eff_u_f = soft_weights(it_f)

@@ -465,9 +465,15 @@ def sqp_qp_solve_onepass_planes(
     ]).reshape(_NPARAM, 1)
     dx0 = x0s - (xa[0] + alpha[None, :] * dxc[0])
     Ac1, Ac2 = _split_leg_blocks(Ac)
-    if rank6 and (isinstance(R_w, np.ndarray) or (
-            isinstance(R_w, jax.Array)
-            and not isinstance(R_w, jax.core.Tracer))):
+    if rank6:
+        if isinstance(R_w, jax.core.Tracer):
+            # the block-diagonality check needs a concrete R_w; silently
+            # proceeding would drop the off-diagonal R coupling and
+            # produce wrong K/kv with no error (ADVICE r4)
+            raise ValueError(
+                "rank6=True requires a concrete (non-traced) R_w so the "
+                "leg-block-diagonality check can run; pass R_w as a "
+                "constant or use rank6=False")
         R_np = np.asarray(R_w)
         if (np.max(np.abs(R_np[0:6, 6:12])) > 0
                 or np.max(np.abs(R_np[6:12, 0:6])) > 0):

@@ -193,6 +193,79 @@ class TestConstrained:
         assert np.all(np.asarray(stats.status) == int(IpmStatus.SUCCESS))
 
 
+class TestStatisticsSurface:
+    def test_linear_residual_columns(self):
+        """``lin_res_{stat,eq,ineq,comp}`` parity columns
+        (ocp_qp_ipm_solver_statistics.hpp:54-57): inf-norm residuals of
+        the Newton linear system at the computed step. In f64 with an
+        O(1)-conditioned QP they must be tiny for every taken iteration
+        and exactly zero past ``iter``."""
+        qp, x0 = constrained_random_qp()
+        settings = IpmSettings(iter_max=30, mu0=1e1)
+        _, stats = ipm_solve(qp, x0, settings)
+        assert int(stats.status) == int(IpmStatus.SUCCESS)
+        n = int(stats.iter)
+        assert n >= 2
+        cols = ("lin_res_stat", "lin_res_eq", "lin_res_ineq",
+                "lin_res_comp")
+        for col in cols:
+            vals = np.asarray(getattr(stats, col))
+            assert np.all(np.isfinite(vals)), col
+            # early iterations are mildly conditioned: true backsolve
+            # accuracy (late iterations carry ~1/mu augmentation weights
+            # whose products round at larger absolute scale)
+            assert vals[1] < 1e-8, (col, vals)
+            assert np.all(vals[n + 1:] == 0.0), (col, vals)
+        # the columns are real measurements, not structural zeros
+        assert np.asarray(stats.lin_res_stat)[1:n + 1].max() > 0.0
+
+    def test_linear_residual_columns_soa(self):
+        """Batched SoA twin records the same columns (same shapes rule:
+        [B, iter_max+1])."""
+        from srbd_nmpc_tpu.ocpqp.ipm_soa import ipm_solve_soa
+
+        qp, x0 = constrained_random_qp(N=10)
+        settings = IpmSettings(iter_max=30, mu0=1e1)
+        x0s = jnp.stack([x0, x0 + 0.01])
+        _, st_soa = ipm_solve_soa(qp, x0s, settings)
+        n0 = int(np.asarray(st_soa.iter)[0])
+        assert n0 >= 2
+        v_soa = np.asarray(st_soa.lin_res_stat)
+        assert v_soa.shape == (2, settings.iter_max + 1)
+        assert np.all(np.isfinite(v_soa))
+        # the values are f64 backsolve error — pure rounding noise, so
+        # only their MAGNITUDE is asserted (the AoS twin rounds
+        # differently; comparing noise to noise is meaningless)
+        assert v_soa[0, 1] < 1e-8
+        assert np.all(v_soa[0, n0 + 1:] == 0.0)
+        assert v_soa[0, 1:n0 + 1].max() > 0.0
+
+    def test_unknown_failure_on_nonfinite(self):
+        """A non-finite solution that no in-loop detector classified must
+        report UNKNOWN_FAILURE — the reference wrapper's default status
+        branch (ocp_qp_ipm_solver.cpp:406-413), previously never
+        emitted."""
+        import dataclasses as dc
+
+        qp = random_qp(N=5)
+        qp_bad = dc.replace(qp, b=qp.b.at[0, 0].set(jnp.inf))
+        x0 = jnp.zeros(5)
+        _, stats = ipm_solve(qp_bad, x0, IpmSettings())
+        assert int(stats.status) == int(IpmStatus.UNKNOWN_FAILURE)
+
+    def test_unknown_failure_on_nonfinite_soa(self):
+        import dataclasses as dc
+
+        from srbd_nmpc_tpu.ocpqp.ipm_soa import ipm_solve_soa
+
+        qp = random_qp(N=5)
+        qp_bad = dc.replace(qp, b=qp.b.at[0, 0].set(jnp.inf))
+        x0s = jnp.zeros((3, 5))
+        _, stats = ipm_solve_soa(qp_bad, x0s, IpmSettings())
+        assert np.all(np.asarray(stats.status)
+                      == int(IpmStatus.UNKNOWN_FAILURE))
+
+
 class TestWarmStart:
     def test_warm_start_converges_to_same_solution(self):
         """warm_start=1 parity (ocp_qp_ipm_solver.cpp:328-333 /
