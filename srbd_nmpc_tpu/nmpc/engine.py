@@ -124,7 +124,9 @@ class NmpcConfig:
     speculative: bool = _static(default=True)
     # fold the forward rollout into the last backward grid step of the
     # one-pass kernel (unrolled epilogue; halves the sequential grid
-    # depth). False restores the 2N-step grid.
+    # depth). False restores the 2N-step grid — on the DENSE one-pass
+    # kernels only: the planes kernel (cfg.planes=True, the default)
+    # always folds the forward rollout and ignores this flag.
     fold_forward: bool = _static(default=True)
     # plane-phase linearization for the fused one-pass kernel
     # (ops/sqp_planes): grid step 0 linearizes ALL stages at once as
@@ -135,6 +137,17 @@ class NmpcConfig:
     # launches of this kernel). False restores the dense-layout one-pass
     # kernels (kept as the on-chip oracle, tools/tpu_smoke.py).
     planes: bool = _static(default=True)
+    # straggler compaction (speculative fused path): the batch pays every
+    # while-trip at full width even when only a tail of slow scenarios is
+    # still live (cold: mean 11.4 SQP iterations but the batch runs ~18
+    # trips; warm: mean 8.7 — VERDICT r4 weak #2). When the live count
+    # fits in Bn//4 (or Bn//16) lanes, gather the live scenarios into a
+    # dense prefix, launch the fused kernel on that sub-batch only, and
+    # scatter the results back. Per-lane kernel math has no cross-lane
+    # ops, so results are bitwise identical to the full-width launch
+    # (asserted in tests/test_sqp_planes.py). Tiers engage only when
+    # Bn//16 (resp. Bn//4) is a multiple of pallas_block.
+    compact: bool = _static(default=True)
 
     # Convergence thresholds (NMPC_solver.cpp:267)
     conv_dphi: float = _static(default=-1e-3)
@@ -1023,10 +1036,10 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
                 jnp.zeros(Bn, dtype), x0s, cfg.mu_barrier,
                 cfg.theta_barrier, reg=cfg.reg, block=cfg.pallas_block)
 
-        def _cand(xa, us, dx_p, du_p, alpha_cand):
+        def _cand_at(xa, us, dx_p, du_p, alpha_cand, xra_, x0s_):
             return sqp_planes.sqp_qp_solve_onepass_planes(
                 params, weights.Q, weights.Qf, weights.R, Ac, bc,
-                xa, us, xra, dx_p, du_p, alpha_cand, x0s,
+                xa, us, xra_, dx_p, du_p, alpha_cand, x0s_,
                 cfg.mu_barrier, cfg.theta_barrier,
                 reg=cfg.reg, block=cfg.pallas_block)
     else:
@@ -1036,12 +1049,32 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
                 xa, us, xra, x0s - xa[0], cfg.mu_barrier, cfg.theta_barrier,
                 reg=cfg.reg, block=cfg.pallas_block, fold=cfg.fold_forward)
 
-        def _cand(xa, us, dx_p, du_p, alpha_cand):
+        def _cand_at(xa, us, dx_p, du_p, alpha_cand, xra_, x0s_):
             return sqp_pallas.sqp_qp_solve_onepass_cand(
                 params, weights.Q, weights.Qf, weights.R, Ac, bc,
-                xa, us, xra, dx_p, du_p, alpha_cand, x0s,
+                xa, us, xra_, dx_p, du_p, alpha_cand, x0s_,
                 cfg.mu_barrier, cfg.theta_barrier,
                 reg=cfg.reg, block=cfg.pallas_block, fold=cfg.fold_forward)
+
+    # --- straggler compaction tiers (cfg.compact): PHASE-structured.
+    # TPU gathers run at ~5 GB/s (tools/probe_gather.py), so per-trip
+    # gather/scatter is ruinous (the round-5 first cut regressed the
+    # bench 192k -> 128k). Instead the solve runs a SEQUENCE of while
+    # loops at shrinking widths: the full-width loop exits once the live
+    # count fits the next tier, the whole carry is compacted ONCE (live
+    # lanes first — stable argsort preserves lane order), the same loop
+    # body resumes at the smaller width, and the final results are
+    # scattered back outermost-last. Lanes never unfreeze, so a
+    # compacted phase never needs lanes it left behind; per-lane kernel
+    # math has no cross-lane ops, so results are bitwise identical
+    # (tests/test_sqp_planes.py::test_engine_compaction_is_bitwise...).
+    tiers = []
+    if cfg.compact:
+        for f in (4, 16):
+            Bc = Bn // f
+            if Bc >= cfg.pallas_block and Bc % cfg.pallas_block == 0:
+                tiers.append(Bc)
+    tiers.sort(reverse=True)
 
     # ---- bootstrap: iteration 1's linearize+QP at the initial iterate ----
     dx_p, du_p, dphi_p, aux = _boot(xa0, us0)
@@ -1075,105 +1108,149 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
     trip_cap = (cfg.sqp_max_iter * (1 if cfg.persistent_alpha
                                     else halvings) + halvings + 16)
 
-    def cond(carry):
-        _, live, _, trips = carry
-        return jnp.any(live) & (trips < trip_cap)
+    def _run_phase(carry, xra_p, x0s_p, thresh):
+        """One while-loop phase at the carry's (static) width; exits when
+        the live count fits ``thresh`` (the next tier) or all lanes are
+        frozen or the trip cap is hit."""
 
-    def body(carry):
-        (xa, us, dx_p, du_p, dphi_p, th_p, ph_p, md_p, mc_p), live, \
-            (status, iters, conv_p, alpha_acc, alpha_cand,
-             i_th, i_ph, i_dphi, i_md, i_mc, converged), trips = carry
+        def cond(carry):
+            _, live, _, trips = carry
+            n_live = jnp.sum(live.astype(jnp.int32))
+            return (n_live > thresh) & (trips < trip_cap)
 
-        searching = live & (alpha_cand > cfg.alpha_min)
-        dx_c, du_c, dphi_c, aux_c = _cand(xa, us, dx_p, du_p, alpha_cand)
-        th_c, ph_c, md_c, mc_c = aux_c
+        def body(carry):
+            (xa, us, dx_p, du_p, dphi_p, th_p, ph_p, md_p, mc_p), live, \
+                (status, iters, conv_p, alpha_acc, alpha_cand,
+                 i_th, i_ph, i_dphi, i_md, i_mc, converged), trips = carry
 
-        ok = _accept(cfg, th_c, ph_c, alpha_cand, th_p, ph_p, dphi_p) \
-            & searching
-        reject = searching & jnp.logical_not(ok)
-        alpha_next = jnp.where(reject, cfg.beta_alpha * alpha_cand,
-                               alpha_cand)
+            searching = live & (alpha_cand > cfg.alpha_min)
+            dx_c, du_c, dphi_c, aux_c = _cand_at(
+                xa, us, dx_p, du_p, alpha_cand, xra_p, x0s_p)
+            th_c, ph_c, md_c, mc_c = aux_c
 
-        # --- acceptance: step, then freeze/continue transitions ---------
-        m3 = ok[None, None, :]
-        af = alpha_cand[None, None, :]
-        xa2 = jnp.where(m3, xa + af * dx_p, xa)
-        us2 = jnp.where(m3, us + af * du_p, us)
-        alpha_acc2 = jnp.where(ok, alpha_cand, alpha_acc)
-        iters2 = iters + ok.astype(jnp.int32)
+            ok = _accept(cfg, th_c, ph_c, alpha_cand, th_p, ph_p, dphi_p) \
+                & searching
+            reject = searching & jnp.logical_not(ok)
+            alpha_next = jnp.where(reject, cfg.beta_alpha * alpha_cand,
+                                   alpha_cand)
 
-        conv_c = (dphi_c > cfg.conv_dphi) & (th_c < cfg.conv_theta)
-        nan_c = jnp.logical_not(jnp.isfinite(th_c + ph_c + dphi_c))
+            # --- acceptance: step, then freeze/continue transitions ---------
+            m3 = ok[None, None, :]
+            af = alpha_cand[None, None, :]
+            xa2 = jnp.where(m3, xa + af * dx_p, xa)
+            us2 = jnp.where(m3, us + af * du_p, us)
+            alpha_acc2 = jnp.where(ok, alpha_cand, alpha_acc)
+            iters2 = iters + ok.astype(jnp.int32)
 
-        succ = ok & conv_p                       # converged at prev iterate
-        maxed = ok & jnp.logical_not(conv_p) & (iters2 >= max_it)
-        nanfr = (ok & jnp.logical_not(conv_p) & (iters2 < max_it) & nan_c)
-        cont = ok & jnp.logical_not(succ | maxed | nanfr)
+            conv_c = (dphi_c > cfg.conv_dphi) & (th_c < cfg.conv_theta)
+            nan_c = jnp.logical_not(jnp.isfinite(th_c + ph_c + dphi_c))
 
-        # --- rejection bottoming out at alpha_min (or entering the loop
-        # already at the floor, e.g. a warm start with a tiny persistent
-        # alpha: the synchronous loop burns iterations without moving) ---
-        stalled = ((reject & (alpha_next <= cfg.alpha_min))
-                   | (live & jnp.logical_not(searching)))
-        succ2 = stalled & conv_p
-        minstep = stalled & jnp.logical_not(conv_p)
-        alpha_acc2 = jnp.where(stalled, alpha_next, alpha_acc2)
+            succ = ok & conv_p                       # converged at prev iterate
+            maxed = ok & jnp.logical_not(conv_p) & (iters2 >= max_it)
+            nanfr = (ok & jnp.logical_not(conv_p) & (iters2 < max_it) & nan_c)
+            cont = ok & jnp.logical_not(succ | maxed | nanfr)
 
-        status2 = jnp.where(
-            succ | succ2, STATUS_SUCCESS,
-            jnp.where(nanfr, STATUS_NAN_DETECTED,
-                      jnp.where(minstep, STATUS_MIN_STEP, status))
-        ).astype(jnp.int32)
-        iters3 = jnp.where(nanfr | succ2, iters2 + 1,
-                           jnp.where(minstep, max_it, iters2))
-        live2 = live & jnp.logical_not(succ | succ2 | maxed | nanfr
-                                       | minstep)
-        converged2 = converged | succ | succ2
+            # --- rejection bottoming out at alpha_min (or entering the loop
+            # already at the floor, e.g. a warm start with a tiny persistent
+            # alpha: the synchronous loop burns iterations without moving) ---
+            stalled = ((reject & (alpha_next <= cfg.alpha_min))
+                       | (live & jnp.logical_not(searching)))
+            succ2 = stalled & conv_p
+            minstep = stalled & jnp.logical_not(conv_p)
+            alpha_acc2 = jnp.where(stalled, alpha_next, alpha_acc2)
 
-        # --- info bookkeeping (match the synchronous loop's final info:
-        # acceptance-frozen scenarios report the PRE-step point's values;
-        # nan/stall-frozen ones report the current pending values) -------
-        acc_info = succ | maxed | cont           # pre-step values + alpha
-        oth_info = nanfr | succ2 | minstep       # current pending values
-        def wr(prev_val, pend_val, cand_val):
-            return jnp.where(acc_info, pend_val,
-                             jnp.where(oth_info, cand_val, prev_val))
-        i_th2 = wr(i_th, th_p, jnp.where(nanfr, th_c, th_p))
-        i_ph2 = wr(i_ph, ph_p, jnp.where(nanfr, ph_c, ph_p))
-        i_dphi2 = wr(i_dphi, dphi_p, jnp.where(nanfr, dphi_c, dphi_p))
-        i_md2 = wr(i_md, md_p, jnp.where(nanfr, md_c, md_p))
-        i_mc2 = wr(i_mc, mc_p, jnp.where(nanfr, mc_c, mc_p))
+            status2 = jnp.where(
+                succ | succ2, STATUS_SUCCESS,
+                jnp.where(nanfr, STATUS_NAN_DETECTED,
+                          jnp.where(minstep, STATUS_MIN_STEP, status))
+            ).astype(jnp.int32)
+            iters3 = jnp.where(nanfr | succ2, iters2 + 1,
+                               jnp.where(minstep, max_it, iters2))
+            live2 = live & jnp.logical_not(succ | succ2 | maxed | nanfr
+                                           | minstep)
+            converged2 = converged | succ | succ2
 
-        # --- pending state: accepted scenarios adopt the candidate ------
-        mp = (cont | nanfr)[None, None, :]
-        dx_p2 = jnp.where(mp, dx_c, dx_p)
-        du_p2 = jnp.where(mp, du_c, du_p)
-        up = cont | nanfr
-        th_p2 = jnp.where(up, th_c, th_p)
-        ph_p2 = jnp.where(up, ph_c, ph_p)
-        dphi_p2 = jnp.where(up, dphi_c, dphi_p)
-        md_p2 = jnp.where(up, md_c, md_p)
-        mc_p2 = jnp.where(up, mc_c, mc_p)
-        conv_p2 = jnp.where(cont, conv_c, conv_p)
+            # --- info bookkeeping (match the synchronous loop's final info:
+            # acceptance-frozen scenarios report the PRE-step point's values;
+            # nan/stall-frozen ones report the current pending values) -------
+            acc_info = succ | maxed | cont           # pre-step values + alpha
+            oth_info = nanfr | succ2 | minstep       # current pending values
+            def wr(prev_val, pend_val, cand_val):
+                return jnp.where(acc_info, pend_val,
+                                 jnp.where(oth_info, cand_val, prev_val))
+            i_th2 = wr(i_th, th_p, jnp.where(nanfr, th_c, th_p))
+            i_ph2 = wr(i_ph, ph_p, jnp.where(nanfr, ph_c, ph_p))
+            i_dphi2 = wr(i_dphi, dphi_p, jnp.where(nanfr, dphi_c, dphi_p))
+            i_md2 = wr(i_md, md_p, jnp.where(nanfr, md_c, md_p))
+            i_mc2 = wr(i_mc, mc_p, jnp.where(nanfr, mc_c, mc_p))
 
-        alpha_cand2 = jnp.where(
-            ok, alpha_cand if cfg.persistent_alpha
-            else jnp.ones_like(alpha_cand), alpha_next)
+            # --- pending state: accepted scenarios adopt the candidate ------
+            mp = (cont | nanfr)[None, None, :]
+            dx_p2 = jnp.where(mp, dx_c, dx_p)
+            du_p2 = jnp.where(mp, du_c, du_p)
+            up = cont | nanfr
+            th_p2 = jnp.where(up, th_c, th_p)
+            ph_p2 = jnp.where(up, ph_c, ph_p)
+            dphi_p2 = jnp.where(up, dphi_c, dphi_p)
+            md_p2 = jnp.where(up, md_c, md_p)
+            mc_p2 = jnp.where(up, mc_c, mc_p)
+            conv_p2 = jnp.where(cont, conv_c, conv_p)
 
-        return ((xa2, us2, dx_p2, du_p2, dphi_p2, th_p2, ph_p2, md_p2,
-                 mc_p2), live2,
-                (status2, iters3, conv_p2, alpha_acc2, alpha_cand2,
-                 i_th2, i_ph2, i_dphi2, i_md2, i_mc2, converged2),
-                trips + 1)
+            alpha_cand2 = jnp.where(
+                ok, alpha_cand if cfg.persistent_alpha
+                else jnp.ones_like(alpha_cand), alpha_next)
 
-    init = ((xa0, us0, dx_p, du_p, dphi_p, th_p, ph_p, md_p, mc_p), live,
-            (status, iters, conv_p, alpha_acc, alpha_cand,
-             i_th, i_ph, i_dphi, i_md, i_mc, converged),
-            trips)
+            return ((xa2, us2, dx_p2, du_p2, dphi_p2, th_p2, ph_p2, md_p2,
+                     mc_p2), live2,
+                    (status2, iters3, conv_p2, alpha_acc2, alpha_cand2,
+                     i_th2, i_ph2, i_dphi2, i_md2, i_mc2, converged2),
+                    trips + 1)
+
+        return lax.while_loop(cond, body, carry)
+
+    def _take_carry(carry, idx):
+        S, live, Bk, trips = carry
+        g = lambda a: jnp.take(a, idx, axis=-1)
+        return (tuple(g(a) for a in S), g(live),
+                tuple(g(a) for a in Bk), trips)
+
+    def _scatter_carry(dst, src, idx):
+        S_d, live_d, Bk_d, _ = dst
+        S_s, live_s, Bk_s, trips_s = src
+        s = lambda d, c: d.at[..., idx].set(c)
+        return (tuple(s(d, c) for d, c in zip(S_d, S_s)),
+                s(live_d, live_s),
+                tuple(s(d, c) for d, c in zip(Bk_d, Bk_s)), trips_s)
+
+    carry = ((xa0, us0, dx_p, du_p, dphi_p, th_p, ph_p, md_p, mc_p), live,
+             (status, iters, conv_p, alpha_acc, alpha_cand,
+              i_th, i_ph, i_dphi, i_md, i_mc, converged),
+             trips)
+    carry = _run_phase(carry, xra, x0s,
+                       thresh=tiers[0] if tiers else 0)
+    if tiers:
+        # compacted phases: gather the carry once per tier crossing, run
+        # the same loop at the smaller width, scatter back afterwards
+        # (innermost first: a lane's latest state lives in the innermost
+        # tier it entered)
+        stack = []  # (outer_carry, idx, xra/x0s at outer width)
+        xra_p, x0s_p = xra, x0s
+        for i, Bc in enumerate(tiers):
+            live_o = carry[1]
+            order = jnp.argsort(jnp.logical_not(live_o))
+            idx = jax.lax.slice_in_dim(order, 0, Bc, axis=0)
+            stack.append((carry, idx))
+            carry = _take_carry(carry, idx)
+            xra_p = jnp.take(xra_p, idx, axis=-1)
+            x0s_p = jnp.take(x0s_p, idx, axis=-1)
+            nxt = tiers[i + 1] if i + 1 < len(tiers) else 0
+            carry = _run_phase(carry, xra_p, x0s_p, thresh=nxt)
+        for outer, idx in reversed(stack):
+            carry = _scatter_carry(outer, carry, idx)
+
     (xa_f, us_f, *_), live_f, \
         (status_f, iters_f, _, alpha_f, alpha_cand_f,
-         f_th, f_ph, f_dphi, f_md, f_mc, converged_f), trips_f = \
-        lax.while_loop(cond, body, init)
+         f_th, f_ph, f_dphi, f_md, f_mc, converged_f), trips_f = carry
 
     # live scenarios that hit the trip cap (shouldn't happen) and any
     # residual RUNNING-at-alpha-floor cases report the stall distinctly

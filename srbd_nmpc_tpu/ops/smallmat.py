@@ -140,10 +140,12 @@ def cholesky(G: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return L, dinv
 
 
-def chol_solve(L: jnp.ndarray, dinv: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
-    """Solve (L L') X = R for SoA rhs R [n, m, ...], given ``cholesky`` output."""
+def fwd_subst(L: jnp.ndarray, dinv: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
+    """Solve L Y = R (lower-triangular forward substitution) for SoA rhs
+    R [n, m, ...], given ``cholesky`` output. Y = L^-1 R satisfies
+    Y'Y = R' (L L')^-1 R — enough for Schur-complement downdates without
+    the backward pass (see sqp_pallas._riccati_stage_structured)."""
     n = L.shape[0]
-    # forward substitution: L Y = R (right-looking row elimination)
     Y = R
     ys = []
     for i in range(n):
@@ -151,16 +153,25 @@ def chol_solve(L: jnp.ndarray, dinv: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray
         ys.append(yi)
         if i + 1 < n:
             Y = Y - _col(L, i) * yi[None]
-    Yv = jnp.stack(ys, axis=0)
-    # backward substitution: L' X = Y
+    return jnp.stack(ys, axis=0)
+
+
+def bwd_subst(L: jnp.ndarray, dinv: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
+    """Solve L' X = Y (upper-triangular backward substitution)."""
+    n = L.shape[0]
     xs = [None] * n
-    X = Yv
+    X = Y
     for i in reversed(range(n)):
         xi = jnp.squeeze(_row(X, i), 0) * _row(dinv, i)
         xs[i] = xi
         if i > 0:
             X = X - jnp.swapaxes(_row(L, i), 0, 1) * xi[None]
     return jnp.stack(xs, axis=0)
+
+
+def chol_solve(L: jnp.ndarray, dinv: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L') X = R for SoA rhs R [n, m, ...], given ``cholesky`` output."""
+    return bwd_subst(L, dinv, fwd_subst(L, dinv, R))
 
 
 def chol_solve_vec(L: jnp.ndarray, dinv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:

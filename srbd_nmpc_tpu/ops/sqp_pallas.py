@@ -234,16 +234,29 @@ def _riccati_stage_structured(dt, m_inv, D1, D2, SF, Sr, Sl, Qw_b, Reff,
     G = Reff + (dt * dt) * JuT(jnp.swapaxes(U, 0, 1)) + eye_reg
     H = dt * JuT(PA)                                   # B'P A
     L, dinv = sm.cholesky(G)
-    K = -sm.chol_solve(L, dinv, H)
     Pb_p = sm.mv(P, b) + p
-    kv = -jnp.squeeze(
-        sm.chol_solve(L, dinv, (dt * JuTv(Pb_p) + reff)[:, None, :]), 1)
+    # One 13-rhs solve for [K | kv], SPLIT at the substitution: the
+    # forward half Y = L^-1 [H | rv] already yields the Schur downdates
+    # H'G^-1 H = Y'Y and H'kv = -Y' y_v, so P_new/p_new — the ONLY
+    # stage-to-stage carried dependency — never wait on the backward
+    # substitution or on K itself; the backward half (K, kv) runs off the
+    # critical path, consumed only by the VMEM parking and Acl assembly.
+    # (Round-5 restructure: the previous form chained fwd+bwd substitution
+    # on 12+1 rhs AND an mtm(H, K) before P_new could start.)
+    rhs = jnp.concatenate([H, (dt * JuTv(Pb_p) + reff)[:, None, :]], axis=1)
+    Y13 = sm.fwd_subst(L, dinv, rhs)                   # [12, 13, block]
+    Yh = jax.lax.slice_in_dim(Y13, 0, 12, axis=1)      # L^-1 H
+    yv = jnp.squeeze(jax.lax.slice_in_dim(Y13, 12, 13, axis=1), 1)
 
-    # A'P A = P + dt (M + Jx'P) + dt^2 Jx'M
+    # A'P A = P + dt (M + Jx'P) + dt^2 Jx'M ; H'K = -Y'Y
     P_new = (Qw_b + P + dt * (M + V) + (dt * dt) * JxT(M)
-             + sm.mtm(H, K))
+             - sm.mtm(Yh, Yh))
     P_new = 0.5 * (P_new + jnp.swapaxes(P_new, 0, 1))
-    p_new = q + Pb_p + dt * JxTv(Pb_p) + sm.mtv(H, kv)
+    p_new = q + Pb_p + dt * JxTv(Pb_p) - sm.mtv(Yh, yv)
+
+    KV = -sm.bwd_subst(L, dinv, Y13)
+    K = jax.lax.slice_in_dim(KV, 0, 12, axis=1)
+    kv = jnp.squeeze(jax.lax.slice_in_dim(KV, 12, 13, axis=1), 1)
 
     if not with_acl:
         return P_new, p_new, None, K, None, kv

@@ -127,6 +127,54 @@ def test_engine_planes_matches_dense_paths(interpret_pallas):
     np.testing.assert_array_equal(info_p.converged, info_d.converged)
 
 
+def test_engine_compaction_is_bitwise_identical(interpret_pallas):
+    """Straggler compaction (cfg.compact): once the live set fits a tier,
+    the kernel runs on a gathered sub-batch. The kernel has no cross-lane
+    ops, so the full solve must be BITWISE identical with and without
+    compaction (and the tiers must actually engage at this size:
+    B=32, block=2 -> tiers 8 and 2)."""
+    import dataclasses
+
+    dtype = jnp.float64
+    cfg = engine.NmpcConfig(N=5, sqp_max_iter=12, pallas_block=2,
+                            qp_kernel="fused")
+    params = srbd.SRBDParams.create(dt=0.015, dtype=dtype)
+    weights = engine.NmpcWeights.create(
+        [0] * 11 + [10], 1e-4,
+        [.5, .5, .5, .01, .01, .01, 100, 100, 100, 0, 0, 100], cfg.N, dtype)
+    x0, x_ref = engine.make_benchmark_problem(cfg, dtype)
+    rng = np.random.default_rng(21)
+    B = 32
+    # varied perturbation scales -> varied per-scenario iteration counts
+    # (probed: the 0.5-scale tail yields a 12-iteration straggler vs 6
+    # for the rest), so the live set shrinks through both tiers
+    scales = np.concatenate([np.full(20, 0.002), np.full(6, 0.05),
+                             np.full(4, 0.2), np.full(2, 0.5)])
+    x0s = jnp.asarray(np.asarray(x0)[None]
+                      + scales[:, None] * rng.normal(size=(B, 12)), dtype)
+    states = engine.NmpcState(
+        x=jnp.zeros((B, cfg.N + 1, 12), dtype),
+        u=jnp.full((B, cfg.N, 12), 100.0, dtype),
+        alpha=jnp.ones(B, dtype))
+
+    outs = {}
+    for compact in (True, False):
+        cfg_k = dataclasses.replace(cfg, compact=compact)
+        outs[compact] = engine.solve(params, weights, cfg_k, states, x0s,
+                                     x_ref)
+    st_c, info_c = outs[True]
+    st_f, info_f = outs[False]
+    np.testing.assert_array_equal(st_c.u, st_f.u)
+    np.testing.assert_array_equal(st_c.x, st_f.x)
+    np.testing.assert_array_equal(info_c.sqp_iters, info_f.sqp_iters)
+    np.testing.assert_array_equal(info_c.status, info_f.status)
+    np.testing.assert_array_equal(info_c.theta, info_f.theta)
+    # sanity: the solve actually had a straggler tail for the tiers to
+    # compact (not all scenarios finish on the same trip)
+    assert int(np.max(np.asarray(info_f.sqp_iters))) \
+        > int(np.min(np.asarray(info_f.sqp_iters)))
+
+
 def test_rank6_matches_dense_stage(interpret_pallas):
     # rank-6 backward stage (push-through/Woodbury, 6x6 factorizations)
     # vs the 12x12 structured stage — same linear algebra, different
