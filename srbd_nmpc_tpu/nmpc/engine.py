@@ -1215,12 +1215,27 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
                 tuple(g(a) for a in Bk), trips)
 
     def _scatter_carry(dst, src, idx):
+        # dx_p/du_p (S[2], S[3]) are deliberately NOT scattered back:
+        # a frozen lane's pending direction is never read after the loop,
+        # and they are the two largest arrays (TPU lane-scatter runs at
+        # ~5 GB/s — tools/probe_gather.py)
         S_d, live_d, Bk_d, _ = dst
         S_s, live_s, Bk_s, trips_s = src
         s = lambda d, c: d.at[..., idx].set(c)
-        return (tuple(s(d, c) for d, c in zip(S_d, S_s)),
-                s(live_d, live_s),
+        S_o = tuple(
+            d if i in (2, 3) else s(d, c)
+            for i, (d, c) in enumerate(zip(S_d, S_s)))
+        return (S_o, s(live_d, live_s),
                 tuple(s(d, c) for d, c in zip(Bk_d, Bk_s)), trips_s)
+
+    # when x_ref is shared across scenarios (the common case), the phase
+    # reference is re-broadcast at each width instead of gathered — xra
+    # is one of the largest arrays and its lanes are identical
+    shared_ref = x_ref.ndim == 2
+
+    def _xra_at(width):
+        return jnp.broadcast_to(x_ref[:, :, None], (cfg.N + 1, srbd.NX,
+                                                    width)).astype(dtype)
 
     carry = ((xa0, us0, dx_p, du_p, dphi_p, th_p, ph_p, md_p, mc_p), live,
              (status, iters, conv_p, alpha_acc, alpha_cand,
@@ -1233,7 +1248,7 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
         # the same loop at the smaller width, scatter back afterwards
         # (innermost first: a lane's latest state lives in the innermost
         # tier it entered)
-        stack = []  # (outer_carry, idx, xra/x0s at outer width)
+        stack = []  # (outer_carry, idx)
         xra_p, x0s_p = xra, x0s
         for i, Bc in enumerate(tiers):
             live_o = carry[1]
@@ -1241,7 +1256,8 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
             idx = jax.lax.slice_in_dim(order, 0, Bc, axis=0)
             stack.append((carry, idx))
             carry = _take_carry(carry, idx)
-            xra_p = jnp.take(xra_p, idx, axis=-1)
+            xra_p = _xra_at(Bc) if shared_ref else jnp.take(xra_p, idx,
+                                                            axis=-1)
             x0s_p = jnp.take(x0s_p, idx, axis=-1)
             nxt = tiers[i + 1] if i + 1 < len(tiers) else 0
             carry = _run_phase(carry, xra_p, x0s_p, thresh=nxt)
