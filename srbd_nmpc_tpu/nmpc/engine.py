@@ -1208,20 +1208,25 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
 
         return lax.while_loop(cond, body, carry)
 
+    # crossing gathers/scatters: trajectory-sized f32 arrays ride the
+    # one-hot-matmul permute kernels (ops/permute_pallas — XLA lane
+    # gathers run at ~5 GB/s on TPU; the kernels are bitwise-exact and
+    # fall back to jnp.take off-TPU / for small or non-f32 arrays)
+    from srbd_nmpc_tpu.ops import permute_pallas as _pp
+
     def _take_carry(carry, idx):
         S, live, Bk, trips = carry
-        g = lambda a: jnp.take(a, idx, axis=-1)
+        g = lambda a: _pp.take_lanes(a, idx)
         return (tuple(g(a) for a in S), g(live),
                 tuple(g(a) for a in Bk), trips)
 
     def _scatter_carry(dst, src, idx):
         # dx_p/du_p (S[2], S[3]) are deliberately NOT scattered back:
         # a frozen lane's pending direction is never read after the loop,
-        # and they are the two largest arrays (TPU lane-scatter runs at
-        # ~5 GB/s — tools/probe_gather.py)
+        # and they are the two largest arrays
         S_d, live_d, Bk_d, _ = dst
         S_s, live_s, Bk_s, trips_s = src
-        s = lambda d, c: d.at[..., idx].set(c)
+        s = lambda d, c: _pp.set_lanes(d, c, idx)
         S_o = tuple(
             d if i in (2, 3) else s(d, c)
             for i, (d, c) in enumerate(zip(S_d, S_s)))
@@ -1256,9 +1261,9 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
             idx = jax.lax.slice_in_dim(order, 0, Bc, axis=0)
             stack.append((carry, idx))
             carry = _take_carry(carry, idx)
-            xra_p = _xra_at(Bc) if shared_ref else jnp.take(xra_p, idx,
-                                                            axis=-1)
-            x0s_p = jnp.take(x0s_p, idx, axis=-1)
+            xra_p = (_xra_at(Bc) if shared_ref
+                     else _pp.take_lanes(xra_p, idx))
+            x0s_p = _pp.take_lanes(x0s_p, idx)
             nxt = tiers[i + 1] if i + 1 < len(tiers) else 0
             carry = _run_phase(carry, xra_p, x0s_p, thresh=nxt)
         for outer, idx in reversed(stack):

@@ -132,6 +132,25 @@ def main() -> int:
                 xa, us, xra, 0.01 * xa, 0.01 * us, 0.5 * alpha,
                 *mb, block=B))
 
+    # lane-compaction permute kernels (ops/permute_pallas): bitwise vs
+    # jnp.take / .at[].set on chip
+    from srbd_nmpc_tpu.ops import permute_pallas as pp
+
+    Bp, Bpc = 4096, 1024
+    big = jnp.asarray(rng.normal(size=(21, 12, Bp)), dtype)
+    idxp = jnp.asarray(
+        np.sort(rng.choice(Bp, size=Bpc, replace=False)), jnp.int32)
+    t0 = time.time()
+    got_t = jax.block_until_ready(pp.take_lanes(big, idxp))
+    ref_t = jnp.take(big, idxp, axis=-1)
+    assert bool(jnp.all(got_t == ref_t)), "take_lanes != jnp.take on chip"
+    srcp = jnp.asarray(rng.normal(size=(21, 12, Bpc)), dtype)
+    got_s = jax.block_until_ready(pp.set_lanes(big, srcp, idxp))
+    ref_s = big.at[..., idxp].set(srcp)
+    assert bool(jnp.all(got_s == ref_s)), "set_lanes != at[].set on chip"
+    results["permute"] = time.time() - t0
+    print(f"  permute take/set lanes       OK  ({results['permute']:.1f}s)")
+
     # production fused path inside a GSPMD-partitioned program: a
     # 1-device mesh with with_sharding_constraint proves the constrained
     # program containing the pallas_call compiles on chip (the judge's
