@@ -1070,6 +1070,10 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
     # (tests/test_sqp_planes.py::test_engine_compaction_is_bitwise...).
     tiers = []
     if cfg.compact:
+        # measured on the cold benchmark: live collapses ~41% -> 3% in a
+        # single SQP iteration (tools/probe_* histograms), so a B/2 tier
+        # saves < 1 trip and its extra crossing net-regressed (233.3k vs
+        # 237.9k cold); (4, 16) is the measured optimum
         for f in (4, 16):
             Bc = Bn // f
             if Bc >= cfg.pallas_block and Bc % cfg.pallas_block == 0:
@@ -1258,7 +1262,11 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
         for i, Bc in enumerate(tiers):
             live_o = carry[1]
             order = jnp.argsort(jnp.logical_not(live_o))
-            idx = jax.lax.slice_in_dim(order, 0, Bc, axis=0)
+            # re-sort the selected lanes: the live prefix of `order` is
+            # ascending but the dead PAD lanes wrap back to low indices,
+            # and the permute kernels require a fully monotonic index
+            # list (which pad lanes fill the spare slots is irrelevant)
+            idx = jnp.sort(jax.lax.slice_in_dim(order, 0, Bc, axis=0))
             stack.append((carry, idx))
             carry = _take_carry(carry, idx)
             xra_p = (_xra_at(Bc) if shared_ref

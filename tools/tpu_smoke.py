@@ -180,6 +180,32 @@ def main() -> int:
           f"converged {n_conv}/{B})")
     results["fused_mesh"] = 0.0
 
+    # straggler compaction end-to-end: a B=4096 cold solve with the
+    # permute-kernel tier crossings must be BITWISE the uncompacted solve
+    # (per-lane kernel math has no cross-lane ops; this is the on-chip
+    # twin of tests/test_sqp_planes.py::test_engine_compaction_...)
+    Bc_ = 4096
+    x0s_c = jnp.asarray(np.asarray(x0b)[None]
+                        + 0.01 * rng.normal(size=(Bc_, srbd.NX)), dtype)
+    states_c = sharded.broadcast_state(
+        engine.NmpcState.initial(cfg.N, dtype), Bc_)
+    t0 = time.time()
+    outs_c = {}
+    for compact in (True, False):
+        cfg_c = dataclasses.replace(cfg, qp_kernel="fused",
+                                    speculative=True, compact=compact)
+        st, _ = jax.block_until_ready(jax.jit(
+            lambda p, w, s, x, r, c=cfg_c: engine.solve(p, w, c, s, x, r)
+        )(params, weights, states_c, x0s_c, x_ref))
+        outs_c[compact] = st
+    du_err = float(jnp.max(jnp.abs(outs_c[True].u - outs_c[False].u)))
+    dx_err = float(jnp.max(jnp.abs(outs_c[True].x - outs_c[False].x)))
+    assert du_err == 0.0 and dx_err == 0.0, \
+        f"compaction not bitwise: du {du_err}, dx {dx_err}"
+    results["compact_bitwise"] = time.time() - t0
+    print(f"  compaction bitwise (B=4096)  OK  "
+          f"({results['compact_bitwise']:.1f}s)")
+
     total = sum(results.values())
     print(f"tpu_smoke: {len(results)} kernels green in {total:.1f}s")
     return 0
