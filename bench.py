@@ -326,7 +326,22 @@ def main() -> None:
     x0s_w = states_cold.x[:, 1, :]
     out_w = jax.block_until_ready(
         warm_solve(params, weights, states_cold, x0s_w, x_ref))
-    n_conv_w = int(out_w[2].n_converged)
+    n_conv_w1 = int(out_w[2].n_converged)
+    warm1_iters = float(out_w[2].mean_iters)
+    # first receding-horizon cycle: one shift from the converged cold
+    # solution with a fresh x0 (measured 13.2 mean SQP iterations — the
+    # shifted trajectory does NOT satisfy the reference's dphi/theta test
+    # quickly on this stepping reference)
+    warm1_times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            warm_solve(params, weights, states_cold, x0s_w, x_ref))
+        warm1_times.append(time.perf_counter() - t0)
+    p50_w1 = float(np.percentile(np.asarray(warm1_times), 50))
+    # steady-state re-solve: feed each solution back in (the reference's
+    # own controlLoop N_rep repetition regime, NMPC_solver.cpp:359-378 —
+    # x_nmpc_/u_nmpc_ persist across reps; iterations drop to ~8.7)
     warm_times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -334,6 +349,7 @@ def main() -> None:
             warm_solve(params, weights, out_w[0], x0s_w, x_ref))
         warm_times.append(time.perf_counter() - t0)
     p50_w = float(np.percentile(np.asarray(warm_times), 50))
+    n_conv_w = int(out_w[2].n_converged)
     warm_iters = float(out_w[2].mean_iters)
 
     # --- small-batch real-time-latency regime + constrained-QP gate -------
@@ -361,6 +377,9 @@ def main() -> None:
         "warm_p50_batch_latency_ms": round(p50_w * 1e3, 3),
         "warm_mean_sqp_iters": round(warm_iters, 2),
         "warm_converged": n_conv_w,
+        "warm_cycle1_solves_per_s": round(batch / p50_w1, 1),
+        "warm_cycle1_mean_sqp_iters": round(warm1_iters, 2),
+        "warm_cycle1_converged": n_conv_w1,
         "f32_vs_f64_oracle_rel_u": (round(oracle_err, 8)
                                     if oracle_err >= 0 else None),
         "latency_sweep_ms": sweep,
