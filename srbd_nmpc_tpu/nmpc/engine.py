@@ -148,6 +148,27 @@ class NmpcConfig:
     # (asserted in tests/test_sqp_planes.py). Tiers engage only when
     # Bn//16 (resp. Bn//4) is a multiple of pallas_block.
     compact: bool = _static(default=True)
+    # compaction tier divisors (width of tier i = Bn // compact_tiers[i];
+    # tiers whose width is not a pallas_block multiple are skipped).
+    # (4, 16) is the measured optimum on the cold benchmark: live
+    # collapses ~41 % -> 3 % in ONE SQP iteration so a B/2 tier saves
+    # < 1 trip and net-regressed (233.3k vs 237.9k); a deeper B/64 tier
+    # was also measured a wash (round-5 notes).
+    compact_tiers: tuple = _static(default=(4, 16))
+    # factor-parking in the planes kernel: park the backward stage's
+    # Cholesky factor (L, dinv, Yh, yv) instead of the gains (K, kv) and
+    # back-substitute du lazily in the forward epilogue — deletes the
+    # 13-rhs backward substitution from every backward Riccati stage
+    # (ops/sqp_planes, ``factor``). Default OFF — measured NON-LEVER
+    # (round 5, tools/probe_planes_split.py --factor --block 128 at
+    # B=16384): the backward phase does get its ~10 % faster (2.44 ->
+    # 2.20 ms) but the epilogue's per-stage 12-step substitution is a
+    # SERIAL dependency chain inside the already-serial rollout and
+    # costs more than the saving (fold+planes 3.17 -> 3.52 ms; net
+    # 5.62 -> 5.71 ms/launch, -1.7 %). Also needs block<=128 (the two
+    # extra [N,12,12,block] parks exceed VMEM at 256). Kept validated
+    # (tests/test_sqp_planes.py::test_factor_matches_gains_stage).
+    park_factor: bool = _static(default=False)
 
     # Convergence thresholds (NMPC_solver.cpp:267)
     conv_dphi: float = _static(default=-1e-3)
@@ -1034,14 +1055,16 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
                 params, weights.Q, weights.Qf, weights.R, Ac, bc,
                 xa, us, xra, jnp.zeros_like(xa), jnp.zeros_like(us),
                 jnp.zeros(Bn, dtype), x0s, cfg.mu_barrier,
-                cfg.theta_barrier, reg=cfg.reg, block=cfg.pallas_block)
+                cfg.theta_barrier, reg=cfg.reg, block=cfg.pallas_block,
+                factor=cfg.park_factor)
 
         def _cand_at(xa, us, dx_p, du_p, alpha_cand, xra_, x0s_):
             return sqp_planes.sqp_qp_solve_onepass_planes(
                 params, weights.Q, weights.Qf, weights.R, Ac, bc,
                 xa, us, xra_, dx_p, du_p, alpha_cand, x0s_,
                 cfg.mu_barrier, cfg.theta_barrier,
-                reg=cfg.reg, block=cfg.pallas_block)
+                reg=cfg.reg, block=cfg.pallas_block,
+                factor=cfg.park_factor)
     else:
         def _boot(xa, us):
             return sqp_pallas.sqp_qp_solve_onepass(
@@ -1074,7 +1097,7 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
         # single SQP iteration (tools/probe_* histograms), so a B/2 tier
         # saves < 1 trip and its extra crossing net-regressed (233.3k vs
         # 237.9k cold); (4, 16) is the measured optimum
-        for f in (4, 16):
+        for f in cfg.compact_tiers:
             Bc = Bn // f
             if Bc >= cfg.pallas_block and Bc % cfg.pallas_block == 0:
                 tiers.append(Bc)

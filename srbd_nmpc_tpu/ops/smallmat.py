@@ -102,6 +102,29 @@ def transpose(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(a, 0, 1)
 
 
+def gram(y: jnp.ndarray) -> jnp.ndarray:
+    """y' y for SoA y [k, n, ...], exploiting symmetry: computes the top
+    [h, n] strip and the bottom-right [n-h, n-h] block (h = n//2) and
+    mirrors the off-diagonal block — 25 % fewer FMAs at n = 12 than
+    ``mtm(y, y)`` for one cheap [h, n-h] leading<->second-minor swap.
+
+    BITWISE-identical to ``mtm(y, y)`` followed by any downstream
+    0.5*(X + X') symmetrization: each computed entry uses the same
+    k-order as mtm, entry (i,j) and (j,i) of mtm(y, y) are already
+    bitwise equal (same products — fp multiply is commutative — summed
+    in the same order), and the mirror copies bits instead of
+    recombining them."""
+    n = y.shape[1]
+    h = n // 2
+    yt = jax.lax.slice_in_dim(y, 0, h, axis=1)
+    yb = jax.lax.slice_in_dim(y, h, n, axis=1)
+    top = mtm(yt, y)                                   # [h, n, ...]
+    br = mtm(yb, yb)                                   # [n-h, n-h, ...]
+    tr = jax.lax.slice_in_dim(top, h, n, axis=1)       # [h, n-h, ...]
+    bottom = jnp.concatenate([jnp.swapaxes(tr, 0, 1), br], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
 def sym(a: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (a + transpose(a))
 

@@ -304,9 +304,16 @@ def _onepass_planes_kernel(scal_ref, iinv_ref, foot_ref, ac1_ref, ac2_ref,
                            xr_ref, dxc_ref, duc_ref, alpha_ref, dx0_ref,
                            dx_ref, du_ref, dphi_ref,
                            theta_ref, phi_ref, maxdef_ref, mincon_ref,
-                           P_scr, p_scr, qN_scr, pack_scr, K_scr, kv_scr,
+                           P_scr, p_scr, qN_scr, pack_scr, *park,
                            mu_b: float, theta_b: float, reg: float, N: int,
-                           rank6: bool):
+                           rank6: bool, factor: bool):
+    # park = (Yh, yv, L, dinv) scratch when ``factor`` (the gain-free
+    # parking: du is back-substituted lazily in the epilogue), else the
+    # classic (K, kv) scratch
+    if factor:
+        Yh_scr, yv_scr, L_scr, dinv_scr = park
+    else:
+        K_scr, kv_scr = park
     g = pl.program_id(1)
     dtype = xa_ref.dtype
     block = xa_ref.shape[-1]
@@ -363,13 +370,26 @@ def _onepass_planes_kernel(scal_ref, iinv_ref, foot_ref, ac1_ref, ac2_ref,
             Reff = widen(Rw_ref[...]) + jnp.concatenate([
                 jnp.concatenate([C11, z66], axis=1),
                 jnp.concatenate([z66, C22], axis=1)], axis=0)
-            P_new, p_new, _, K, _, kv = _riccati_stage_structured(
-                dt, m_inv, D1, D2, SF, Sr, Sl, widen(Qw_ref[...]), Reff,
-                reff, q, b, P_scr[...], p_scr[...], reg, with_acl=False)
+            if factor:
+                P_new, p_new, L, dinv, Yh, yv = _riccati_stage_structured(
+                    dt, m_inv, D1, D2, SF, Sr, Sl, widen(Qw_ref[...]),
+                    Reff, reff, q, b, P_scr[...], p_scr[...], reg,
+                    with_acl=False, return_factor=True)
+            else:
+                P_new, p_new, _, K, _, kv = _riccati_stage_structured(
+                    dt, m_inv, D1, D2, SF, Sr, Sl, widen(Qw_ref[...]),
+                    Reff, reff, q, b, P_scr[...], p_scr[...], reg,
+                    with_acl=False)
         P_scr[...] = P_new
         p_scr[...] = p_new
-        K_scr[pl.ds(k, 1)] = K[None]
-        kv_scr[pl.ds(k, 1)] = kv[None]
+        if factor:
+            Yh_scr[pl.ds(k, 1)] = Yh[None]
+            yv_scr[pl.ds(k, 1)] = yv[None]
+            L_scr[pl.ds(k, 1)] = L[None]
+            dinv_scr[pl.ds(k, 1)] = dinv[None]
+        else:
+            K_scr[pl.ds(k, 1)] = K[None]
+            kv_scr[pl.ds(k, 1)] = kv[None]
 
         @pl.when(g == N)
         def _fold():
@@ -385,8 +405,18 @@ def _onepass_planes_kernel(scal_ref, iinv_ref, foot_ref, ac1_ref, ac2_ref,
             dx = dx0_ref[...]
             tot = None
             for kk in range(N):
-                Kk = jnp.squeeze(K_scr[pl.ds(kk, 1)], 0)
-                du = sm.mv(Kk, dx) + jnp.squeeze(kv_scr[pl.ds(kk, 1)], 0)
+                if factor:
+                    Yk = jnp.squeeze(Yh_scr[pl.ds(kk, 1)], 0)
+                    yvk = jnp.squeeze(yv_scr[pl.ds(kk, 1)], 0)
+                    Lk = jnp.squeeze(L_scr[pl.ds(kk, 1)], 0)
+                    dk = jnp.squeeze(dinv_scr[pl.ds(kk, 1)], 0)
+                    t = sm.mv(Yk, dx) + yvk
+                    du = -jnp.squeeze(
+                        sm.bwd_subst(Lk, dk, t[:, None, :]), 1)
+                else:
+                    Kk = jnp.squeeze(K_scr[pl.ds(kk, 1)], 0)
+                    du = (sm.mv(Kk, dx)
+                          + jnp.squeeze(kv_scr[pl.ds(kk, 1)], 0))
                 pkk = jnp.squeeze(pack_scr[pl.ds(kk, 1)], 0)
 
                 def prow(lo, hi, pkk=pkk):
@@ -433,7 +463,7 @@ def sqp_qp_solve_onepass_planes(
     dxc: jnp.ndarray, duc: jnp.ndarray, alpha: jnp.ndarray,
     x0s: jnp.ndarray,
     mu_b: float, theta_b: float, reg: float = 0.0, block: int = 256,
-    rank6: bool = False,
+    rank6: bool = False, factor: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, ...]]:
     """Fused SQP QP solve AT THE CANDIDATE (xa + alpha dxc, us + alpha duc)
     with the plane-phase linearization (module docstring). Same contract
@@ -450,10 +480,21 @@ def sqp_qp_solve_onepass_planes(
     is latency-bound, not FLOP-bound. Kept as a validated reference
     (tests/test_sqp_planes.py::test_rank6_matches_dense_stage).
 
+    ``factor`` parks the backward stage's Cholesky factor (L, dinv) and
+    forward-substituted half (Yh, yv) instead of the gains (K, kv), and
+    the forward epilogue back-substitutes du = -L'^-1 (Yh dx + yv) per
+    stage — this deletes the 13-rhs backward substitution from every
+    backward stage (~13 % of its FMAs) for one 1-rhs substitution per
+    epilogue stage, at +2 scratch buffers ([N,12,block] + [N,12,12,block]
+    VMEM). Same linear algebra as the K-form to rounding.
+
     REQUIRES ``Ac`` leg-block-diagonal (checked when concrete, see
     sqp_pallas._split_leg_blocks)."""
     import numpy as np
 
+    if factor and rank6:
+        raise ValueError("factor=True is not implemented for the rank-6 "
+                         "stage (rank6=True)")
     N = us.shape[0]
     Bt = xa.shape[-1]
     assert Bt % block == 0, (Bt, block)
@@ -517,9 +558,22 @@ def sqp_qp_solve_onepass_planes(
         jax.ShapeDtypeStruct((1, Bt), dtype),
         jax.ShapeDtypeStruct((1, Bt), dtype),
     ]
+    if factor:
+        park_scratch = [
+            pltpu.VMEM((N, NX, NX, block), dtype),   # Yh = L^-1 H
+            pltpu.VMEM((N, NX, block), dtype),       # yv
+            pltpu.VMEM((N, NX, NX, block), dtype),   # L (Cholesky)
+            pltpu.VMEM((N, NX, block), dtype),       # dinv
+        ]
+    else:
+        park_scratch = [
+            pltpu.VMEM((N, NU, NX, block), dtype),   # K, all stages
+            pltpu.VMEM((N, NU, block), dtype),       # k
+        ]
     outs = pl.pallas_call(
         functools.partial(_onepass_planes_kernel, mu_b=mu_b,
-                          theta_b=theta_b, reg=reg, N=N, rank6=rank6),
+                          theta_b=theta_b, reg=reg, N=N, rank6=rank6,
+                          factor=factor),
         grid=(Bt // block, N + 1),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -529,9 +583,7 @@ def sqp_qp_solve_onepass_planes(
             pltpu.VMEM((NX, block), dtype),          # p carry
             pltpu.VMEM((NX, block), dtype),          # q_N
             pltpu.VMEM((N, _C, block), dtype),       # linearization pack
-            pltpu.VMEM((N, NU, NX, block), dtype),   # K, all stages
-            pltpu.VMEM((N, NU, block), dtype),       # k
-        ],
+        ] + park_scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),

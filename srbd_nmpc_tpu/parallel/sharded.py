@@ -89,6 +89,63 @@ def make_sharded_solver(
     return jax.jit(fn, donate_argnums=donate)
 
 
+def make_shardmap_solver(
+    cfg: engine.NmpcConfig,
+    mesh: Mesh,
+    donate_state: bool = True,
+):
+    """Jit-compile the batched solve as a ``jax.shard_map`` over ``mesh``:
+    each device runs the FULL engine — while-loop phases, straggler
+    compaction tiers, Pallas permute crossings — on its LOCAL scenario
+    shard, with zero communication in the hot loop; only the
+    ``BatchSummary`` reductions cross chips (outside the shard_map, as
+    XLA all-reduces over ICI).
+
+    This is the multi-chip form of the straggler-compaction fast path
+    (``NmpcConfig.compact``). Under plain jit + NamedSharding
+    (``make_sharded_solver``) the compaction crossings would be GLOBAL
+    ops — a cross-device argsort and lane gathers that GSPMD turns into
+    collectives, and the one-hot-matmul permute kernels
+    (ops/permute_pallas) cannot be partitioned at all. shard_map makes
+    the crossings device-local, which is also the right design: each
+    chip compacts its own stragglers independently (per-lane math has no
+    cross-lane ops, so the result is bitwise identical to the unsharded
+    solve — tests/test_sharding.py::test_shardmap_compaction_matches_
+    unsharded).
+
+    Constraints: the global batch must divide evenly over the mesh's
+    scenario axis, and the LOCAL batch (B / n_devices) must satisfy the
+    fused-path eligibility (divisible by ``cfg.pallas_block``) for the
+    Pallas kernels to engage per device. ``x_ref`` may be shared
+    ``[N+1, nx]`` (replicated) or per-scenario ``[B, N+1, nx]``
+    (sharded)."""
+    from jax.sharding import PartitionSpec as P
+
+    spec_b = P(mesh_lib.SCENARIO_AXIS)
+
+    def local_solve(params, weights, states, x0s, x_ref):
+        states_f, infos = engine.solve(params, weights, cfg, states, x0s,
+                                       x_ref)
+        return states_f, infos
+
+    def fn(params, weights, states, x0s, x_ref):
+        ref_spec = spec_b if x_ref.ndim == 3 else P()
+        # check_vma=False: the Pallas kernels inside the engine don't
+        # annotate varying-mesh-axes on their out_shapes (jax 0.9's
+        # check would reject them); the body is communication-free so
+        # the check buys nothing here
+        states_f, infos = jax.shard_map(
+            local_solve, mesh=mesh,
+            in_specs=(P(), P(), spec_b, spec_b, ref_spec),
+            out_specs=(spec_b, spec_b),
+            check_vma=False,
+        )(params, weights, states, x0s, x_ref)
+        return states_f, infos, summarize(infos)
+
+    donate = (2,) if donate_state else ()
+    return jax.jit(fn, donate_argnums=donate)
+
+
 def broadcast_state(state: engine.NmpcState, batch: int) -> engine.NmpcState:
     """Tile a single-scenario state to a [B]-leading batch."""
     return jax.tree.map(

@@ -36,6 +36,71 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
+def test_shardmap_compaction_matches_unsharded(monkeypatch):
+    """The shard_map solver (per-device engine: while phases, straggler
+    compaction tiers, permute crossings all device-local) must be BITWISE
+    identical to the unsharded fused solve — per-lane kernel math has no
+    cross-lane ops and compaction is bitwise-neutral
+    (test_sqp_planes.py::test_engine_compaction_is_bitwise_identical),
+    so sharding the batch must change nothing. Local batch 64/8 = 8 with
+    pallas_block=2 engages the B/4 tier on every device."""
+    import dataclasses
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+
+    dtype = jnp.float64
+    cfg = engine.NmpcConfig(N=5, sqp_max_iter=12, pallas_block=2,
+                            qp_kernel="fused", compact=True)
+    params = srbd.SRBDParams.create(dt=0.015, dtype=dtype)
+    weights = engine.NmpcWeights.create(
+        Q_diag=[0] * 11 + [10], R_scalar=1e-4,
+        Qf_diag=[.5, .5, .5, .01, .01, .01, 100, 100, 100, 0, 0, 100],
+        N=cfg.N, dtype=dtype)
+    x0, x_ref = engine.make_benchmark_problem(cfg, dtype)
+    rng = np.random.default_rng(21)
+    B = 64
+    # varied perturbation scales -> per-scenario iteration spread, so the
+    # live set shrinks into the compacted tier on each device
+    scales = np.concatenate([np.full(40, 0.002), np.full(12, 0.05),
+                             np.full(8, 0.2), np.full(4, 0.5)])
+    x0s = jnp.asarray(np.asarray(x0)[None]
+                      + scales[:, None] * rng.normal(size=(B, 12)), dtype)
+    states = sharded.broadcast_state(engine.NmpcState.initial(cfg.N, dtype), B)
+
+    st_ref, info_ref = engine.solve(params, weights, cfg, states, x0s, x_ref)
+
+    mesh = mesh_lib.make_mesh()
+    states_sh = mesh_lib.shard_scenario_batch(states, mesh)
+    x0s_sh = jax.device_put(x0s, mesh_lib.scenario_sharding(mesh))
+    solver = sharded.make_shardmap_solver(cfg, mesh, donate_state=False)
+    st_sh, info_sh, summ = jax.block_until_ready(
+        solver(params, weights, states_sh, x0s_sh, x_ref))
+
+    np.testing.assert_array_equal(np.asarray(st_sh.u), np.asarray(st_ref.u))
+    np.testing.assert_array_equal(np.asarray(st_sh.x), np.asarray(st_ref.x))
+    np.testing.assert_array_equal(np.asarray(info_sh.sqp_iters),
+                                  np.asarray(info_ref.sqp_iters))
+    np.testing.assert_array_equal(np.asarray(info_sh.status),
+                                  np.asarray(info_ref.status))
+    # the batch really is partitioned across all 8 devices
+    assert len(st_sh.u.sharding.device_set) == 8
+    assert int(summ.n_converged) == int(np.sum(np.asarray(info_ref.converged)))
+    # sanity: there was a straggler tail for the tiers to compact
+    it = np.asarray(info_ref.sqp_iters)
+    assert int(it.max()) > int(it.min())
+
+    # per-scenario x_ref (sharded [B, N+1, nx]) takes the other in_spec leg
+    x_ref_b = jnp.broadcast_to(x_ref, (B,) + x_ref.shape)
+    st_b, _, _ = jax.block_until_ready(solver(
+        params, weights, states_sh, x0s_sh,
+        jax.device_put(x_ref_b, mesh_lib.scenario_sharding(mesh))))
+    np.testing.assert_array_equal(np.asarray(st_b.u), np.asarray(st_ref.u))
+
+
 def test_sharded_matches_unsharded():
     params, weights, cfg, states, x0s, x_ref = setup(batch=16)
 

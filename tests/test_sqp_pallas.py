@@ -29,6 +29,26 @@ def interpret_pallas(monkeypatch):
     monkeypatch.undo()
 
 
+def test_gram_bitwise_through_symmetrization():
+    """sm.gram (symmetric Y'Y, 25 % fewer FMAs — used for the Schur
+    downdate H'G^-1 H in _riccati_stage_structured) must be bitwise
+    interchangeable with mtm(Y, Y) through the kernel's 0.5*(X + X')
+    stage symmetrization, in both dtypes."""
+    from srbd_nmpc_tpu.ops import smallmat as sm
+
+    rng = np.random.default_rng(3)
+    for dtype in (jnp.float32, jnp.float64):
+        Y = jnp.asarray(rng.normal(size=(12, 12, 9)), dtype)
+        A = jnp.asarray(rng.normal(size=(12, 12, 9)), dtype)
+        s_g = 0.5 * ((A - sm.gram(Y)) + jnp.swapaxes(A - sm.gram(Y), 0, 1))
+        s_m = 0.5 * ((A - sm.mtm(Y, Y)) + jnp.swapaxes(A - sm.mtm(Y, Y), 0, 1))
+        np.testing.assert_array_equal(np.asarray(s_g), np.asarray(s_m))
+        # odd inner dim exercises the uneven split
+        Y5 = jnp.asarray(rng.normal(size=(4, 5, 3)), dtype)
+        np.testing.assert_allclose(np.asarray(sm.gram(Y5)),
+                                   np.asarray(sm.mtm(Y5, Y5)), rtol=1e-6)
+
+
 def _setup(B, N, dtype=jnp.float32, seed=0):
     cfg = engine.NmpcConfig(N=N)
     params = srbd.SRBDParams.create(dt=0.015, dtype=dtype)

@@ -175,6 +175,38 @@ def test_engine_compaction_is_bitwise_identical(interpret_pallas):
         > int(np.min(np.asarray(info_f.sqp_iters)))
 
 
+def test_factor_matches_gains_stage(interpret_pallas):
+    """factor=True (park the Cholesky factor, back-substitute du lazily
+    in the forward epilogue) vs the default K/kv parking — same linear
+    algebra, different substitution order; measured non-lever on chip
+    (engine.NmpcConfig.park_factor docstring) but kept validated."""
+    from srbd_nmpc_tpu.ops import sqp_planes
+
+    B, N = 8, 5
+    dtype = jnp.float64
+    cfg, params, weights, xa, us, xra, x0s, rng = _setup(B, N, dtype)
+    Ac, bc = srbd.constraint_matrix(params)
+    dxc = jnp.asarray(rng.normal(size=(N + 1, 12, B)) * 0.05, dtype)
+    duc = jnp.asarray(rng.normal(size=(N, 12, B)) * 2.0, dtype)
+    alpha = jnp.asarray(0.25 + 0.5 * rng.random(B), dtype)
+
+    args = (params, weights.Q, weights.Qf, weights.R, Ac, bc,
+            xa, us, xra, dxc, duc, alpha, x0s,
+            cfg.mu_barrier, cfg.theta_barrier)
+    o_k = sqp_planes.sqp_qp_solve_onepass_planes(
+        *args, reg=1e-9, block=B, factor=False)
+    o_f = sqp_planes.sqp_qp_solve_onepass_planes(
+        *args, reg=1e-9, block=B, factor=True)
+    np.testing.assert_allclose(o_f[0], o_k[0], rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(o_f[1], o_k[1], rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(o_f[2], o_k[2], rtol=1e-9, atol=1e-10)
+    for a_f, a_k in zip(o_f[3], o_k[3]):
+        np.testing.assert_allclose(a_f, a_k, rtol=1e-9, atol=1e-12)
+    with pytest.raises(ValueError, match="rank-6"):
+        sqp_planes.sqp_qp_solve_onepass_planes(
+            *args, reg=1e-9, block=B, factor=True, rank6=True)
+
+
 def test_rank6_matches_dense_stage(interpret_pallas):
     # rank-6 backward stage (push-through/Woodbury, 6x6 factorizations)
     # vs the 12x12 structured stage — same linear algebra, different

@@ -26,6 +26,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--factor", action="store_true")
+    ap.add_argument("--block", type=int, default=256)
     args = ap.parse_args()
     B, REPS = args.batch, args.reps
 
@@ -53,9 +55,12 @@ def main():
     Ac, bc = srbd.constraint_matrix(params)
 
     def stub_riccati(dt, m_inv, D1, D2, SF, Sr, Sl, Qw_b, Reff, reff, q, b,
-                     P, p, reg, with_acl=True):
+                     P, p, reg, with_acl=True, return_factor=False):
         # trivial passthrough with live data deps (nothing DCE-able)
         K = jnp.broadcast_to(q[:, None], Reff.shape) * 1e-3
+        if return_factor:
+            return (P + 1e-6 * Reff, p + 1e-6 * q, K, q * 1e-3 + 1.0,
+                    K, b)
         return P + 1e-6 * Reff, p + 1e-6 * q, None, K, None, b
 
     def timed(tag):
@@ -68,7 +73,8 @@ def main():
                         sqp_planes.sqp_qp_solve_onepass_planes(
                             params, w.Q, w.Qf, w.R, Ac, bc, xx, us, xra,
                             dxc, duc, alpha, x0s, cfg.mu_barrier,
-                            cfg.theta_barrier, reg=1e-9, block=256)
+                            cfg.theta_barrier, reg=1e-9, block=args.block,
+                            factor=args.factor)
                 return acc + dphi[0] * 1e-20, xx + dx * 1e-20
             return jax.lax.fori_loop(
                 0, REPS, body, (jnp.asarray(0.0, dtype), xa))[0]
