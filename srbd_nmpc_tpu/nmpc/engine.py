@@ -793,6 +793,7 @@ def _sqp_step_soa(params, weights, cfg, xa, us, alpha, x0s, xra, active):
                 jnp.zeros(Bn, xa.dtype), x0s,
                 cfg.mu_barrier, cfg.theta_barrier,
                 reg=cfg.reg, block=cfg.pallas_block,
+                factor=cfg.park_factor,
             )
         else:
             from srbd_nmpc_tpu.ops import sqp_pallas
@@ -1098,6 +1099,10 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
         # saves < 1 trip and its extra crossing net-regressed (233.3k vs
         # 237.9k cold); (4, 16) is the measured optimum
         for f in cfg.compact_tiers:
+            if not isinstance(f, int) or f < 2:
+                raise ValueError(
+                    f"compact_tiers must be ints >= 2, got {f!r} in "
+                    f"{cfg.compact_tiers!r}")
             Bc = Bn // f
             if Bc >= cfg.pallas_block and Bc % cfg.pallas_block == 0:
                 tiers.append(Bc)

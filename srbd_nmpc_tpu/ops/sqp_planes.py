@@ -495,6 +495,15 @@ def sqp_qp_solve_onepass_planes(
     if factor and rank6:
         raise ValueError("factor=True is not implemented for the rank-6 "
                          "stage (rank6=True)")
+    if factor and block > 128:
+        # the two extra [N,12,12,block]/[N,12,block] parks exceed the
+        # 16 MB VMEM limit at block 256 (measured: 16.46M, over by
+        # 472K) — fail fast host-side instead of an opaque remote
+        # Mosaic compile failure
+        raise ValueError(
+            f"factor=True requires block <= 128 (got {block}): the "
+            "factor parks (L, dinv, Yh, yv) overflow VMEM at larger "
+            "lane blocks")
     N = us.shape[0]
     Bt = xa.shape[-1]
     assert Bt % block == 0, (Bt, block)

@@ -97,12 +97,22 @@ def main() -> int:
                 params, weights.Q, weights.Qf, weights.R, Ac, bc,
                 xa, us, xra, zx, zu, jnp.zeros((B,), dtype), xa[0] + dx0,
                 *mb, reg=cfg.reg, block=B))
+        # factor-parking variant (park_factor; VMEM-bounded to block<=128):
+        # interpret-mode tests don't prove the 4-scratch + per-stage
+        # epilogue substitution lowers through Mosaic — compile it here
+        dxf, duf, dphif, _ = check(
+            "sqp_qp_solve_onepass_planes(factor)",
+            lambda: sqp_planes.sqp_qp_solve_onepass_planes(
+                params, weights.Q, weights.Qf, weights.R, Ac, bc,
+                xa, us, xra, zx, zu, jnp.zeros((B,), dtype), xa[0] + dx0,
+                *mb, reg=cfg.reg, block=min(B, 128), factor=True))
 
         # one-pass vs two-pass vs candidate(alpha=1, zero direction) vs
         # plane-phase (alpha=0) parity
         for name, (dxo, duo) in {"onepass": (dx1, du1),
                                  "cand": (dxc, duc),
-                                 "planes": (dxp, dup)}.items():
+                                 "planes": (dxp, dup),
+                                 "planes-factor": (dxf, duf)}.items():
             err = max(float(jnp.max(jnp.abs(dxo - dx2))),
                       float(jnp.max(jnp.abs(duo - du2))))
             if not err < 1e-2:
