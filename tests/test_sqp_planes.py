@@ -158,12 +158,21 @@ def test_engine_compaction_is_bitwise_identical(interpret_pallas):
         alpha=jnp.ones(B, dtype))
 
     outs = {}
-    for compact in (True, False):
-        cfg_k = dataclasses.replace(cfg, compact=compact)
-        outs[compact] = engine.solve(params, weights, cfg_k, states, x0s,
-                                     x_ref)
+    for key, kw in {
+        True: dict(compact=True),
+        False: dict(compact=False),
+        # custom tier divisors (NmpcConfig.compact_tiers): B=32, block=2
+        # -> widths 16 and 4, both engaged
+        "tiers28": dict(compact=True, compact_tiers=(2, 8)),
+    }.items():
+        cfg_k = dataclasses.replace(cfg, **kw)
+        outs[key] = engine.solve(params, weights, cfg_k, states, x0s,
+                                 x_ref)
     st_c, info_c = outs[True]
     st_f, info_f = outs[False]
+    st_t, info_t = outs["tiers28"]
+    np.testing.assert_array_equal(st_t.u, st_f.u)
+    np.testing.assert_array_equal(info_t.sqp_iters, info_f.sqp_iters)
     np.testing.assert_array_equal(st_c.u, st_f.u)
     np.testing.assert_array_equal(st_c.x, st_f.x)
     np.testing.assert_array_equal(info_c.sqp_iters, info_f.sqp_iters)
