@@ -141,20 +141,25 @@ class NmpcConfig:
     # while-trip at full width even when only a tail of slow scenarios is
     # still live (cold: mean 11.4 SQP iterations but the batch runs ~18
     # trips; warm: mean 8.7 — VERDICT r4 weak #2). When the live count
-    # fits in Bn//4 (or Bn//16) lanes, gather the live scenarios into a
-    # dense prefix, launch the fused kernel on that sub-batch only, and
-    # scatter the results back. Per-lane kernel math has no cross-lane
-    # ops, so results are bitwise identical to the full-width launch
-    # (asserted in tests/test_sqp_planes.py). Tiers engage only when
-    # Bn//16 (resp. Bn//4) is a multiple of pallas_block.
+    # fits in the next tier width (Bn // compact_tiers[i]), gather the
+    # live scenarios into a dense prefix, launch the fused kernel on
+    # that sub-batch only, and scatter the results back. Per-lane kernel
+    # math has no cross-lane ops, so results are bitwise identical to
+    # the full-width launch (asserted in tests/test_sqp_planes.py).
+    # Tiers engage only when their width is a multiple of pallas_block.
     compact: bool = _static(default=True)
     # compaction tier divisors (width of tier i = Bn // compact_tiers[i];
     # tiers whose width is not a pallas_block multiple are skipped).
-    # (4, 16) is the measured optimum on the cold benchmark: live
-    # collapses ~41 % -> 3 % in ONE SQP iteration so a B/2 tier saves
-    # < 1 trip and net-regressed (233.3k vs 237.9k); a deeper B/64 tier
-    # was also measured a wash (round-5 notes).
-    compact_tiers: tuple = _static(default=(4, 16))
+    # (2, 8, 32) is the regime-robust measured optimum at B=131072
+    # (round-5 A/B sweeps on chip): cold it is a wash vs (4, 16)
+    # (236.5k vs 236.8k solves/s — live collapses ~41 % -> 3 % in ONE
+    # SQP iteration so the B/2 tier saves < 1 trip, and the extra
+    # crossing costs what it saves) but WARM it wins +4.1 % (279.4k vs
+    # 268.4k): the warm live set collapses ~3 iterations earlier, so the
+    # early B/2 tier covers real trips. Also measured: (2,8) alone cold
+    # -1.3 % (233.7k, the B/32 tail runs at 1/8 width instead of 1/32);
+    # (4,16,64) a wash; a 4th tier (2,8,32,128) a wash.
+    compact_tiers: tuple = _static(default=(2, 8, 32))
     # factor-parking in the planes kernel: park the backward stage's
     # Cholesky factor (L, dinv, Yh, yv) instead of the gains (K, kv) and
     # back-substitute du lazily in the forward epilogue — deletes the
@@ -1094,10 +1099,8 @@ def _solve_batched_soa_spec(params, weights, cfg, state, x0, x_ref):
     # (tests/test_sqp_planes.py::test_engine_compaction_is_bitwise...).
     tiers = []
     if cfg.compact:
-        # measured on the cold benchmark: live collapses ~41% -> 3% in a
-        # single SQP iteration (tools/probe_* histograms), so a B/2 tier
-        # saves < 1 trip and its extra crossing net-regressed (233.3k vs
-        # 237.9k cold); (4, 16) is the measured optimum
+        # tier sweep measurements + the default's rationale: see the
+        # compact_tiers field docstring
         for f in cfg.compact_tiers:
             if not isinstance(f, int) or f < 2:
                 raise ValueError(
